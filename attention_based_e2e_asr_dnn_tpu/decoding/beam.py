@@ -1,0 +1,232 @@
+"""Static-shape beam search over the scan-based attend-spell decoder.
+
+The reference left beam search as an empty ``pass`` branch
+(src/models.py:486-490); this is the real implementation required by
+BASELINE.json config #4, built TPU-first:
+
+  * static beam width K, one ``lax.scan`` over decode steps;
+  * hypotheses flattened to a (B*K) super-batch so the SAME attention cache /
+    LSTM cell code paths as greedy decode run unmodified (the encoder cache is
+    repeated K times once, up front);
+  * finished hypotheses are masked: they can only extend with <eos> at zero
+    cost, so scores freeze at the first <eos>;
+  * backpointers + emitted tokens are scan outputs; the winning sequence is
+    reconstructed by a host-side backtrace (once per utterance batch, cold
+    path);
+  * optional length normalization (score / len**alpha) at selection time.
+
+Works for any model whose decoder is ``speller_apply``-shaped: the step
+function is built from the speller params/config directly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from attention_based_e2e_asr_dnn_tpu.models.las import SpellerConfig
+from attention_based_e2e_asr_dnn_tpu.ops.attention import (
+    cross_attention_precompute,
+    cross_attention_step,
+)
+from attention_based_e2e_asr_dnn_tpu.ops.lstm import lstm_cell_step
+from attention_based_e2e_asr_dnn_tpu.ops.precision import matmul_precision
+
+NEG_INF = -1e30
+
+
+def _beam_decode_scan(
+    params: dict,
+    cfg: SpellerConfig,
+    enc_h: jnp.ndarray,
+    enc_l: jnp.ndarray,
+    beam_size: int,
+    max_steps: int,
+):
+    """Run the beam scan. Returns (tokens, parents, scores, finished):
+    tokens/parents (steps, B, K) int32, scores (B, K) float32."""
+    batch, _, _ = enc_h.shape
+    K = beam_size
+    dtype = enc_h.dtype
+    vocab = cfg.dec_vocab_size
+    emb = params["char_emb"].astype(dtype)
+
+    # Repeat encodings K times -> (B*K) super-batch, hyp-major within example.
+    enc_h_rep = jnp.repeat(enc_h, K, axis=0)
+    enc_l_rep = jnp.repeat(enc_l, K, axis=0)
+    cache = cross_attention_precompute(params["attention"], enc_h_rep, enc_l_rep,
+                                       cfg.att_heads)
+
+    BK = batch * K
+    char = jnp.full((BK,), cfg.CHR_SOS_IDX, jnp.int32)
+    h1 = jnp.broadcast_to(params["init_h1"].astype(dtype), (BK, cfg.dec_lstm_hid_dim))
+    c1 = jnp.broadcast_to(params["init_c1"].astype(dtype), (BK, cfg.dec_lstm_hid_dim))
+    h2 = jnp.broadcast_to(params["init_h2"].astype(dtype), (BK, cfg.dec_lstm_out_dim))
+    c2 = jnp.broadcast_to(params["init_c2"].astype(dtype), (BK, cfg.dec_lstm_out_dim))
+    init_query = jnp.broadcast_to(params["init_query"].astype(dtype),
+                                  (BK, cfg.dec_lstm_out_dim))
+    context, _, _ = cross_attention_step(params["attention"], cache, init_query,
+                                         cfg.att_heads, cfg.legacy_scale)
+
+    # beam 0 live, others dead (so step 0 doesn't pick K copies of one token)
+    scores = jnp.tile(jnp.array([0.0] + [NEG_INF] * (K - 1), jnp.float32), (batch,))
+    scores = scores.reshape(batch, K)
+    finished = jnp.zeros((batch, K), bool)
+
+    def gather_beams(x, parent):
+        """x: (B*K, ...) -> select parent beams; parent: (B, K) in [0, K)."""
+        xk = x.reshape(batch, K, *x.shape[1:])
+        return jnp.take_along_axis(
+            xk, parent.reshape(batch, K, *([1] * (x.ndim - 1))), axis=1
+        ).reshape(BK, *x.shape[1:])
+
+    def step(carry, _):
+        char, h1, c1, h2, c2, context, scores, finished = carry
+
+        char_e = emb[char]
+        cell_in = jnp.concatenate([char_e, context], axis=-1)
+        h1n, c1n = lstm_cell_step(params["cell1"], cell_in, h1, c1)
+        h2n, c2n = lstm_cell_step(params["cell2"], h1n, h2, c2)
+        ctx, _, q_proj = cross_attention_step(
+            params["attention"], cache, h2n, cfg.att_heads, cfg.legacy_scale
+        )
+        dec_out = jnp.concatenate([q_proj, ctx], axis=-1)
+        logits = jnp.dot(
+            dec_out, emb.T, precision=matmul_precision(dtype),
+            preferred_element_type=dtype,
+        ) + params["cls_b"].astype(dtype)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)  # (BK, V)
+        logp = logp.reshape(batch, K, vocab)
+
+        # finished hyps: only <eos> continuation, zero cost
+        eos_only = jnp.full((vocab,), NEG_INF).at[cfg.CHR_PAD_IDX].set(0.0)
+        logp = jnp.where(finished[:, :, None], eos_only[None, None, :], logp)
+
+        total = scores[:, :, None] + logp                   # (B, K, V)
+        flat = total.reshape(batch, K * vocab)
+        new_scores, idx = jax.lax.top_k(flat, K)            # (B, K)
+        parent = (idx // vocab).astype(jnp.int32)
+        token = (idx % vocab).astype(jnp.int32)
+
+        h1n = gather_beams(h1n, parent)
+        c1n = gather_beams(c1n, parent)
+        h2n = gather_beams(h2n, parent)
+        c2n = gather_beams(c2n, parent)
+        ctx = gather_beams(ctx, parent)
+        fin_parent = jnp.take_along_axis(finished, parent, axis=1)
+        finished_new = fin_parent | (token == cfg.CHR_PAD_IDX)
+
+        carry = (token.reshape(BK), h1n, c1n, h2n, c2n, ctx, new_scores,
+                 finished_new)
+        return carry, (token, parent, finished_new)
+
+    carry0 = (char, h1, c1, h2, c2, context, scores, finished)
+    (_, _, _, _, _, _, final_scores, final_finished), (tokens, parents, fin) = (
+        jax.lax.scan(step, carry0, None, length=max_steps)
+    )
+    return tokens, parents, fin, final_scores, final_finished
+
+
+def backtrace(tokens: np.ndarray, parents: np.ndarray, beam: int, b: int,
+              k: int) -> list:
+    """Host-side backpointer walk: (steps, B, K) arrays -> token list."""
+    steps = tokens.shape[0]
+    seq = []
+    cur = k
+    for t in range(steps - 1, -1, -1):
+        seq.append(int(tokens[t, b, cur]))
+        cur = int(parents[t, b, cur])
+    return seq[::-1]
+
+
+def beam_search(
+    params: dict,
+    cfg: SpellerConfig,
+    enc_h: jnp.ndarray,
+    enc_l: jnp.ndarray,
+    beam_size: int = 8,
+    max_steps: int = 0,
+    length_alpha: float = 0.0,
+) -> np.ndarray:
+    """Full beam search over precomputed encodings.
+
+    Returns (B, max_steps) int32 best sequences (EOS-padded after the first
+    <eos>). Selection: highest score, length-normalized by
+    ``(len_until_eos)**length_alpha`` when alpha > 0.
+    """
+    max_steps = max_steps or cfg.CHR_MAX_STEPS
+    tokens, parents, fin, final_scores, _ = _beam_decode_scan(
+        params, cfg, enc_h, enc_l, beam_size, max_steps
+    )
+    tokens = np.asarray(tokens)
+    parents = np.asarray(parents)
+    fin = np.asarray(fin)
+    final_scores = np.asarray(final_scores)
+
+    batch = final_scores.shape[0]
+    out = np.full((batch, max_steps), cfg.CHR_PAD_IDX, np.int32)
+    # hypothesis length = steps until first finished (for normalization)
+    first_eos = np.where(fin.any(axis=0), fin.argmax(axis=0) + 1, max_steps)  # (B, K)
+    if length_alpha > 0.0:
+        norm = final_scores / (first_eos.astype(np.float64) ** length_alpha)
+    else:
+        norm = final_scores
+    best_k = norm.argmax(axis=1)
+    for b in range(batch):
+        seq = backtrace(tokens, parents, beam_size, b, int(best_k[b]))
+        out[b] = np.array(seq, np.int32)
+    return out
+
+
+def make_las_beam_step(las_cfg, beam_size: int, length_alpha: float = 0.0,
+                       compute_dtype=jnp.float32, max_steps: int = 0):
+    """Beam decode with the greedy-step interface: (params, x, lx) -> ids.
+
+    Runs the Listener once (jitted) then the beam scan (jitted) over its
+    encodings. ``las_cfg`` is an LASConfig.
+    """
+    from attention_based_e2e_asr_dnn_tpu.models.las import listener_apply
+
+    steps = max_steps or las_cfg.speller.CHR_MAX_STEPS
+
+    @jax.jit
+    def encode(params, x, lx):
+        return listener_apply(params["listener"], las_cfg.listener, None,
+                              x.astype(compute_dtype), lx, train=False)
+
+    def step(params, x, lx):
+        enc_h, enc_l = encode(params, x, lx)
+        return beam_search(params["speller"], las_cfg.speller, enc_h, enc_l,
+                           beam_size=beam_size, max_steps=steps,
+                           length_alpha=length_alpha)
+
+    return step
+
+
+def make_rewriter_beam_step(lm_cfg, beam_size: int, length_alpha: float = 0.0,
+                            compute_dtype=jnp.float32, max_steps: int = 0):
+    """Beam decode for the Rewriter: (params, x_ids, lx) -> ids."""
+    from attention_based_e2e_asr_dnn_tpu.ops.lstm import locked_lstm_stack_apply
+
+    steps = max_steps or lm_cfg.CHR_MAX_STEPS
+    sp_cfg = lm_cfg.speller_config()
+
+    @jax.jit
+    def encode(params, x, lx):
+        emb = params["decoder"]["char_emb"].astype(compute_dtype)
+        return locked_lstm_stack_apply(
+            params["encoder"], None, emb[x], lx,
+            init_dropout=0.0, mid_dropout=0.0, bidirectional=True, train=False,
+        )
+
+    def step(params, x, lx):
+        enc_h, enc_l = encode(params, x, lx)
+        return beam_search(params["decoder"], sp_cfg, enc_h, enc_l,
+                           beam_size=beam_size, max_steps=steps,
+                           length_alpha=length_alpha)
+
+    return step

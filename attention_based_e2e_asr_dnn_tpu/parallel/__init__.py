@@ -1,0 +1,6 @@
+from attention_based_e2e_asr_dnn_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    batch_sharding,
+    replicate_sharding,
+    shard_batch_fn,
+)

@@ -1,0 +1,197 @@
+"""LAS training entry point.
+
+CLI parity with the reference (src/train.py:478-650):
+
+    python -m attention_based_e2e_asr_dnn_tpu.train -c configs/base-las.yml
+
+Flow: config load -> mini-vs-full vocab selection -> derived-config injection
+-> experiment folder + config.json snapshot -> batchers -> model -> Trainer
+-> train_eval -> log.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from attention_based_e2e_asr_dnn_tpu import constants
+from attention_based_e2e_asr_dnn_tpu.config import Config, inject_vocab, load_yaml, snapshot_config
+from attention_based_e2e_asr_dnn_tpu.data.batching import BucketBatcher
+from attention_based_e2e_asr_dnn_tpu.data.datasets import AsrTrainDevDataset, ToyTrainDevDataset
+from attention_based_e2e_asr_dnn_tpu.models.las import (
+    LASConfig,
+    ListenerConfig,
+    SpellerConfig,
+    las_apply,
+    las_config_from_dicts,
+    las_init,
+)
+from attention_based_e2e_asr_dnn_tpu.parallel.mesh import make_mesh, shard_batch_fn
+from attention_based_e2e_asr_dnn_tpu.training.trainer import Trainer
+from attention_based_e2e_asr_dnn_tpu.utils.logging import (
+    MetricLogger,
+    dump_log_json,
+    experiment_folder,
+)
+
+
+def scale_las_dropouts(cfg: LASConfig, scale: float) -> LASConfig:
+    """Apply the dropout scheduler's multiplicative scale to every rate
+    (reference dropout_step, src/train.py:459-474)."""
+    if scale == 1.0:
+        return cfg
+    lis = dataclasses.replace(
+        cfg.listener,
+        init_dropout=cfg.listener.init_dropout * scale,
+        mid_dropout=cfg.listener.mid_dropout * scale,
+        final_dropout=cfg.listener.final_dropout * scale,
+    )
+    spe = dataclasses.replace(
+        cfg.speller,
+        att_dropout=cfg.speller.att_dropout * scale,
+        dec_emb_dropout=cfg.speller.dec_emb_dropout * scale,
+        dec_lstm_dropout=cfg.speller.dec_lstm_dropout * scale,
+    )
+    return LASConfig(listener=lis, speller=spe)
+
+
+def make_las_apply_factory(base_cfg: LASConfig, unroll: int = 8):
+    def make_apply(dropout_scale: float):
+        cfg = scale_las_dropouts(base_cfg, dropout_scale)
+
+        def apply_fn(params, rng, x, lx, dec_y=None, tf_rate=1.0,
+                     init_force=False, train=False):
+            return las_apply(params, cfg, rng, x, lx, dec_y, tf_rate,
+                             init_force, train, unroll)
+
+        return apply_fn
+
+    return make_apply
+
+
+def resolve_vocab(trncfgs_dict: dict):
+    """Mini-vs-full vocab selection (reference src/train.py:492-510)."""
+    use_mini = os.path.basename(trncfgs_dict["TRN_FOLDER"]).startswith("mini")
+    if use_mini:
+        dev_labels = np.load(os.path.join(trncfgs_dict["TRN_FOLDER"], "dev_labels.npy"))
+        uniq = list(np.unique(dev_labels))
+        vocab_map = {str(u): i for i, u in enumerate(uniq)}
+        vocab_map["[PAD]"] = len(vocab_map)
+        vocab = list(vocab_map.keys())
+        sos_key, eos_key = "[SOS]", "[EOS]"
+    else:
+        vocab, vocab_map = constants.VOCAB, constants.VOCAB_MAP
+        sos_key, eos_key = "<sos>", "<eos>"
+    return use_mini, vocab, vocab_map, sos_key, eos_key
+
+
+def main(args):
+    from attention_based_e2e_asr_dnn_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    print(f"devices: {jax.devices()}")
+    trncfgs_dict = load_yaml(args.config_file)
+    use_mini, vocab, vocab_map, sos_key, eos_key = resolve_vocab(trncfgs_dict)
+    trncfgs_dict = inject_vocab(trncfgs_dict, vocab, vocab_map, sos_key, eos_key)
+    trncfgs = Config(trncfgs_dict)
+    eos_idx = trncfgs_dict["EOS_IDX"]
+    sos_idx = trncfgs_dict["SOS_IDX"]
+
+    # wandb-or-timestamp experiment folder + config snapshot (src/train.py:519-530)
+    wandb_cfg = getattr(trncfgs, "wandb", None)
+    logger = MetricLogger(
+        use_wandb=bool(wandb_cfg and wandb_cfg.use),
+        wandb_configs=getattr(wandb_cfg, "configs", None),
+        run_config=trncfgs_dict,
+    )
+    tgt_folder = experiment_folder(trncfgs.EXP_FOLDER, logger.run_name)
+    snapshot_config(trncfgs_dict, tgt_folder)
+    milestone_dir = getattr(trncfgs, "MST_FOLDER", None)
+
+    # data
+    pad_time = int(getattr(trncfgs, "pad_time_multiple", 128))
+    pad_label = int(getattr(trncfgs, "pad_label_multiple", 32))
+    if use_mini:
+        trn_ds = ToyTrainDevDataset(trncfgs.TRN_FOLDER, "train", vocab_map)
+        dev_ds = ToyTrainDevDataset(trncfgs.TRN_FOLDER, "dev", vocab_map)
+    else:
+        trn_ds = AsrTrainDevDataset(
+            std_dir=trncfgs.TRN_FOLDER, label_to_idx=vocab_map, keep_tags=True,
+            max_utterances=getattr(trncfgs, "max_utterances", None),
+        )
+        dev_ds = AsrTrainDevDataset(
+            std_dir=trncfgs.DEV_FOLDER, label_to_idx=vocab_map, keep_tags=True,
+            max_utterances=getattr(trncfgs, "max_utterances", None),
+        )
+    trn_batcher = BucketBatcher(
+        trn_ds, trncfgs.batch_size, pad_time, pad_label, label_pad_id=eos_idx,
+        shuffle=True, seed=int(trncfgs.seed),
+    )
+    dev_batcher = BucketBatcher(
+        dev_ds, trncfgs.batch_size, pad_time, pad_label, label_pad_id=eos_idx,
+    )
+    print(f"[data] {len(trn_batcher)} train batches, {len(dev_batcher)} dev batches")
+
+    # model
+    las_cfg = las_config_from_dicts(
+        trncfgs.model.configs["listener_configs"],
+        trncfgs.model.configs["speller_configs"],
+    )
+    param_dtype = jnp.float32
+    compute_dtype = jnp.bfloat16 if getattr(trncfgs, "compute_dtype", "float32") == "bfloat16" else jnp.float32
+
+    init_fn = lambda rng: las_init(rng, las_cfg, param_dtype)
+    make_apply = make_las_apply_factory(las_cfg, unroll=int(getattr(trncfgs, "scan_unroll", 8)))
+
+    # optional data parallelism over a device mesh (new capability, SURVEY §5.8)
+    shard_batch = None
+    par = getattr(trncfgs, "parallel", None)
+    if par is not None and par.use:
+        mesh = make_mesh(getattr(par, "n_devices", None))
+        shard_batch = shard_batch_fn(mesh)
+        print(f"[parallel] data-parallel mesh over {mesh.size} devices")
+
+    trainer = Trainer(
+        init_fn=init_fn,
+        make_apply=make_apply,
+        trn_batcher=trn_batcher,
+        dev_batcher=dev_batcher,
+        trncfgs=trncfgs,
+        saving_dir=tgt_folder,
+        milestone_dir=milestone_dir,
+        sos_idx=sos_idx,
+        eos_idx=eos_idx,
+        compute_dtype=compute_dtype,
+        logger=logger,
+        shard_batch=shard_batch,
+    )
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(trainer.state.params))
+    print(f"[model] {n_params/1e6:.2f}M parameters")
+
+    trainer.train_eval(int(trncfgs.epochs))
+    dump_log_json(os.path.join(tgt_folder, "log.json"),
+                  trainer.train_history, trainer.dev_history)
+    logger.finish()
+    return trainer
+
+
+def build_argparser():
+    parser = argparse.ArgumentParser(
+        description="Training E2E Attention-Based ASR (LAS) on TPU"
+    )
+    parser.add_argument("--config-file", "-c", type=str,
+                        default="./configs/base-las.yml",
+                        help="filepath to the configuration file")
+    return parser
+
+
+if __name__ == "__main__":
+    main(build_argparser().parse_args())

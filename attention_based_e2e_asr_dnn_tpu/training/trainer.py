@@ -1,0 +1,310 @@
+"""Epoch-driver Trainer — orchestrates the jitted steps, host-side
+schedulers, evaluation, diagnostics, and checkpointing.
+
+Engine parity with the reference Trainer (src/train.py:25-474), shared by the
+LAS and Rewriter pipelines exactly like the reference reuses its Trainer
+wholesale (src/lmtrain.py:342-352). The model enters through two callables so
+any attend-spell-style model plugs in:
+
+    init_fn(rng) -> params
+    make_apply(dropout_scale) -> apply_fn(params, rng, x, lx, dec_y,
+                                          tf_rate, init_force, train)
+
+Per-epoch flow (reference train_eval, src/train.py:261-297): tf-rate /
+dropout scheduler steps -> train epoch -> attention-map PNG -> eval epoch
+(free-running decode + Levenshtein) -> metric records -> checkpoint policy ->
+LD-gated ReduceLROnPlateau.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from attention_based_e2e_asr_dnn_tpu.training.checkpoints import (
+    CheckpointManager,
+    load_checkpoint,
+    save_checkpoint,
+)
+from attention_based_e2e_asr_dnn_tpu.training.optim import (
+    CosineWarmupSchedule,
+    DropoutScheduler,
+    ReduceLROnPlateau,
+    TeacherForcingScheduler,
+    build_optimizer,
+)
+from attention_based_e2e_asr_dnn_tpu.training.steps import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from attention_based_e2e_asr_dnn_tpu.utils.levenshtein import batch_levenshtein
+from attention_based_e2e_asr_dnn_tpu.utils.logging import MetricLogger
+from attention_based_e2e_asr_dnn_tpu.utils.plotting import pay_attention_multihead
+
+
+class Trainer:
+    def __init__(
+        self,
+        init_fn: Callable,
+        make_apply: Callable[[float], Callable],
+        trn_batcher,
+        dev_batcher,
+        trncfgs,
+        saving_dir: str,
+        milestone_dir: Optional[str] = None,
+        sos_idx: int = 0,
+        eos_idx: int = 29,
+        compute_dtype=jnp.float32,
+        logger: Optional[MetricLogger] = None,
+        shard_batch: Optional[Callable] = None,
+    ):
+        self.trncfgs = trncfgs
+        self.trn_batcher = trn_batcher
+        self.dev_batcher = dev_batcher
+        self.saving_dir = saving_dir
+        self.sos_idx = sos_idx
+        self.eos_idx = eos_idx
+        self.compute_dtype = compute_dtype
+        self.logger = logger or MetricLogger()
+        self.make_apply = make_apply
+        self.shard_batch = shard_batch or (lambda b: b)
+
+        self.accu_grad = int(getattr(trncfgs, "accu_grad", 1))
+        self.grad_norm = float(getattr(trncfgs, "grad_norm", 5.0))
+        self.init_force_cfg = bool(getattr(trncfgs, "init_force", False))
+        self.use_specaug = bool(getattr(trncfgs, "use_specaug", False))
+        self.tf_rate = float(getattr(trncfgs, "tf_rate", 1.0))
+
+        # optimizer (registry parity, src/train.py:71-77)
+        self.base_lr = float(trncfgs.optimizer.configs["lr"])
+        self.current_lr = self.base_lr
+        self.tx = build_optimizer(
+            trncfgs.optimizer.name, trncfgs.optimizer.configs,
+            grad_norm=self.grad_norm, accum_steps=self.accu_grad,
+        )
+
+        # schedulers (src/train.py:79-101, 448-474)
+        self.batch_scheduler = None
+        if getattr(trncfgs, "batch_scheduler", None) and trncfgs.batch_scheduler.use:
+            self.batch_scheduler = CosineWarmupSchedule(
+                num_batches=len(trn_batcher),
+                init_lr=self.base_lr,
+                max_epochs=int(getattr(trncfgs, "epochs", 10)),
+                **{k: v for k, v in trncfgs.batch_scheduler.configs.items()
+                   if k in ("warmup_epochs", "min_lr")},
+            )
+        self.epoch_scheduler = None
+        if getattr(trncfgs, "epoch_scheduler", None) and trncfgs.epoch_scheduler.use:
+            self.epoch_scheduler = ReduceLROnPlateau(self.base_lr)
+        self.tf_scheduler = None
+        if getattr(trncfgs, "tf_rate_scheduler", None) and trncfgs.tf_rate_scheduler.use:
+            self.tf_scheduler = TeacherForcingScheduler(
+                self.tf_rate, **trncfgs.tf_rate_scheduler.configs
+            )
+        self.dropout_scheduler = None
+        if getattr(trncfgs, "dropout_scheduler", None) and trncfgs.dropout_scheduler.use:
+            self.dropout_scheduler = DropoutScheduler(trncfgs.dropout_scheduler.configs)
+        self.dropout_scale = 1.0
+
+        # state
+        rng = jax.random.key(int(getattr(trncfgs, "seed", 0)))
+        rng, init_rng = jax.random.split(rng)
+        params = init_fn(init_rng)
+        self.state = create_train_state(params, self.tx, rng)
+        self.epoch = 0
+        self.batch = 0
+        self.train_history = {"loss": [], "ppl": []}
+        self.dev_history = {"loss": [], "ppl": [], "ld": []}
+
+        self.ckpt = CheckpointManager(
+            os.path.join(saving_dir, "ckpts"), milestone_dir,
+            max_savings=int(getattr(trncfgs, "max_savings", 3)),
+        )
+
+        self._build_steps()
+
+        # resume (src/train.py:96-101, 372-391)
+        finetune = getattr(trncfgs, "finetune", None)
+        if finetune is not None and finetune.use:
+            self.load(finetune.checkpoint)
+            self.ckpt.reset_best()
+            if getattr(finetune, "reinit_lr", False):
+                self.current_lr = self.base_lr
+
+    # ------------------------------------------------------------------
+    def _build_steps(self) -> None:
+        apply_fn = self.make_apply(self.dropout_scale)
+        self.train_step = make_train_step(
+            apply_fn, self.tx, accum_steps=self.accu_grad,
+            compute_dtype=self.compute_dtype, use_specaug=self.use_specaug,
+        )
+        self.eval_step = make_eval_step(apply_fn, compute_dtype=self.compute_dtype)
+
+    # ------------------------------------------------------------------
+    def _strip_sos(self, y: np.ndarray, ly: np.ndarray):
+        """Remove leading <sos> from labels (reference src/train.py:117)."""
+        return y[:, 1:], np.maximum(ly - 1, 0)
+
+    def train_epoch(self):
+        total_loss = total_ppl = 0.0
+        n_batches = 0
+        att_map = None
+        init_force = self.init_force_cfg and self.epoch < 10  # src/train.py:113
+        for bt in self.trn_batcher.epoch(self.epoch):
+            y, ly = self._strip_sos(bt.y, bt.ly)
+            ly = np.where(bt.indices >= 0, ly, 0)  # repeat-padded rows: no loss
+            batch = self.shard_batch(
+                (bt.x, bt.lx.astype(np.int32), y.astype(np.int32), ly.astype(np.int32))
+            )
+            self.state, metrics, att_map = self.train_step(
+                self.state, *batch,
+                jnp.asarray(self.tf_rate, jnp.float32),
+                jnp.asarray(self.current_lr, jnp.float32),
+                init_force=init_force,
+            )
+            total_loss += float(metrics["loss"])
+            total_ppl += float(metrics["ppl"])
+            n_batches += 1
+            self.batch += 1
+            # per-update LR schedule on accumulation boundaries (src/train.py:185-188)
+            if self.batch_scheduler and self.batch % self.accu_grad == 0:
+                self.current_lr = self.batch_scheduler.step()
+                self.logger.log({"learning-rate": self.current_lr})
+        return total_loss / max(n_batches, 1), total_ppl / max(n_batches, 1), att_map
+
+    def evaluate_epoch(self):
+        total_loss = total_ppl = total_ld = 0.0
+        n_batches = 0
+        for bt in self.dev_batcher.epoch(0):
+            y, ly = self._strip_sos(bt.y, bt.ly)
+            ly = np.where(bt.indices >= 0, ly, 0)
+            batch = self.shard_batch(
+                (bt.x, bt.lx.astype(np.int32), y.astype(np.int32), ly.astype(np.int32))
+            )
+            metrics, pred_ids = self.eval_step(self.state.params, *batch)
+            total_loss += float(metrics["loss"])
+            total_ppl += float(metrics["ppl"])
+            real = bt.indices >= 0
+            total_ld += batch_levenshtein(
+                np.asarray(pred_ids)[real], y[real], ly[real],
+                self.sos_idx, self.eos_idx,
+            )
+            n_batches += 1
+        n = max(n_batches, 1)
+        return total_loss / n, total_ppl / n, total_ld / n
+
+    # ------------------------------------------------------------------
+    def train_eval(self, epochs: int):
+        """Full training loop (reference train_eval, src/train.py:261-297)."""
+        while self.epoch < epochs:
+            t0 = time.time()
+            if self.tf_scheduler:
+                self.tf_rate = self.tf_scheduler.step(self.epoch, self.dev_history["ld"])
+            if self.dropout_scheduler:
+                ratio = self.dropout_scheduler.step(self.epoch)
+                if ratio != 1.0:
+                    self.dropout_scale *= ratio
+                    self.logger.print(
+                        f"[epoch {self.epoch}] dropout rates scaled by {ratio}"
+                    )
+                    self._build_steps()
+
+            trn_loss, trn_ppl, att_map = self.train_epoch()
+            if att_map is not None:
+                pay_attention_multihead(
+                    np.asarray(att_map), epoch=self.epoch,
+                    root_dir=os.path.join(self.saving_dir, "imgs"),
+                )
+            self.train_history["loss"].append(trn_loss)
+            self.train_history["ppl"].append(trn_ppl)
+
+            dev_loss, dev_ppl, dev_ld = self.evaluate_epoch()
+            if dev_ld <= 0 and self.dev_history["ld"]:
+                dev_ld = self.dev_history["ld"][-1]  # src/train.py:283-285
+            self.dev_history["loss"].append(dev_loss)
+            self.dev_history["ppl"].append(dev_ppl)
+            self.dev_history["ld"].append(dev_ld)
+
+            dt = time.time() - t0
+            self.logger.print(
+                f"[epoch {self.epoch}] trn loss {trn_loss:.4f} ppl {trn_ppl:.3f} | "
+                f"dev loss {dev_loss:.4f} ppl {dev_ppl:.3f} ld {dev_ld:.3f} | "
+                f"tf {self.tf_rate:.2f} lr {self.current_lr:.2e} | {dt:.1f}s"
+            )
+            self.logger.log({
+                "avg_trn_loss": trn_loss, "avg_trn_ppl": trn_ppl,
+                "dev_loss": dev_loss, "dev_ppl": dev_ppl, "dev_ld": dev_ld,
+            })
+
+            self.ckpt.maybe_save(
+                self.epoch, dev_loss, dev_ld, dev_ppl, self._payload(dev_loss, dev_ld, dev_ppl)
+            )
+            self.epoch += 1
+            # LD-gated plateau LR (src/train.py:294-297)
+            if self.epoch_scheduler and self.dev_history["ld"][-1] <= 20:
+                self.current_lr = self.epoch_scheduler.step(dev_ld)
+                self.logger.log({"learning-rate": self.current_lr})
+
+    # ------------------------------------------------------------------
+    def _payload(self, dev_loss: float, dev_ld: float, dev_ppl: float) -> dict:
+        return {
+            "epoch": self.epoch,
+            "batch": self.batch,
+            "loss": dev_loss,
+            "ld": dev_ld,
+            "ppl": dev_ppl,
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "train_loss": list(self.train_history["loss"]),
+            "train_ppl": list(self.train_history["ppl"]),
+            "dev_loss": list(self.dev_history["loss"]),
+            "dev_ppl": list(self.dev_history["ppl"]),
+            "dev_ld": list(self.dev_history["ld"]),
+            "tf_rate": self.tf_rate,
+            "current_lr": self.current_lr,
+            "dropout_scale": self.dropout_scale,
+        }
+
+    def save(self, path: str) -> str:
+        return save_checkpoint(path, self._payload(
+            self.dev_history["loss"][-1] if self.dev_history["loss"] else float("inf"),
+            self.dev_history["ld"][-1] if self.dev_history["ld"] else float("inf"),
+            self.dev_history["ppl"][-1] if self.dev_history["ppl"] else float("inf"),
+        ))
+
+    def load(self, path: str) -> None:
+        """Resume from checkpoint (reference load_model, src/train.py:372-391)."""
+        loaded = load_checkpoint(path)
+        params = jax.tree.map(jnp.asarray, loaded["params"])
+        opt_state = self.state.opt_state
+        if loaded.get("opt_state") is not None:
+            opt_state = jax.tree.map(
+                lambda ref, new: jnp.asarray(new), self.state.opt_state,
+                loaded["opt_state"],
+            )
+        self.state = TrainState(
+            params=params, opt_state=opt_state, rng=self.state.rng,
+            step=self.state.step,
+        )
+        self.epoch = loaded["epoch"]
+        self.batch = loaded["batch"]
+        self.train_history["loss"] = list(loaded.get("train_loss", []))
+        self.train_history["ppl"] = list(loaded.get("train_ppl", []))
+        self.dev_history["loss"] = list(loaded.get("dev_loss", []))
+        self.dev_history["ppl"] = list(loaded.get("dev_ppl", []))
+        self.dev_history["ld"] = list(loaded.get("dev_ld", []))
+        if "tf_rate" in loaded:
+            self.tf_rate = loaded["tf_rate"]
+        if "current_lr" in loaded:
+            self.current_lr = loaded["current_lr"]
+        if loaded.get("dropout_scale", 1.0) != self.dropout_scale:
+            self.dropout_scale = loaded["dropout_scale"]
+            self._build_steps()
+        self.logger.print(f"resumed from [{path}] at epoch[{self.epoch}]")

@@ -1,0 +1,71 @@
+"""Core layer tests: vocabulary, config tree, Levenshtein metric."""
+
+import json
+import os
+
+import pytest
+
+from attention_based_e2e_asr_dnn_tpu.constants import EOS_IDX, SOS_IDX, VOCAB, VOCAB_MAP
+from attention_based_e2e_asr_dnn_tpu.config import Config, inject_vocab, load_config, snapshot_config
+from attention_based_e2e_asr_dnn_tpu.utils.levenshtein import (
+    batch_levenshtein,
+    ids_to_str,
+    levenshtein,
+)
+
+import numpy as np
+
+
+def test_vocab_parity():
+    # 30 symbols, <sos>=0, <eos>=29 doubling as pad (reference src/constants.py:6-19)
+    assert len(VOCAB) == 30
+    assert SOS_IDX == 0
+    assert EOS_IDX == 29
+    assert VOCAB[0] == "<sos>" and VOCAB[29] == "<eos>"
+    assert VOCAB_MAP["A"] == 1 and VOCAB_MAP[" "] == 28 and VOCAB_MAP["'"] == 27
+
+
+def test_config_splat_semantics():
+    cfg = Config({
+        "model": {"tag": "base", "configs": {"a": 1, "nested": {"b": 2}}},
+        "optimizer": {"name": "adamw", "configs": {"lr": 1e-3}},
+        "batch_size": 96,
+    })
+    # keys ending in `configs` stay dicts for ** splat (reference src/utils.py:31)
+    assert isinstance(cfg.model.configs, dict)
+    assert cfg.model.configs["nested"] == {"b": 2}
+    assert cfg.model.tag == "base"
+    assert cfg.optimizer.configs == {"lr": 1e-3}
+    assert cfg.batch_size == 96
+
+
+def test_config_snapshot_roundtrip(tmp_path):
+    d = {"model": {"configs": {"speller_configs": {}}}, "seed": 1}
+    d = inject_vocab(d, VOCAB, VOCAB_MAP)
+    path = snapshot_config(d, str(tmp_path))
+    cfg = load_config(path)
+    assert cfg.model.configs["speller_configs"]["dec_vocab_size"] == 30
+    assert cfg.model.configs["speller_configs"]["CHR_PAD_IDX"] == 29
+    assert cfg.EOS_IDX == 29 and cfg.SOS_IDX == 0
+    assert cfg.VOCAB == VOCAB
+
+
+def test_levenshtein_basic():
+    assert levenshtein("kitten", "sitting") == 3
+    assert levenshtein("", "abc") == 3
+    assert levenshtein("abc", "abc") == 0
+    assert levenshtein([1, 2, 3], [1, 3]) == 1
+
+
+def test_ids_to_str_skips_sos_stops_at_eos():
+    seq = [SOS_IDX, 8, 9, EOS_IDX, 1, 2]
+    assert ids_to_str(seq, VOCAB, SOS_IDX, EOS_IDX) == "HI"
+
+
+def test_batch_levenshtein_matches_string_distance():
+    # "CAB<eos>pad" vs gold "CB"
+    pred = np.array([[3, 1, 2, EOS_IDX, 5]], dtype=np.int32)
+    gold = np.array([[3, 2, EOS_IDX, EOS_IDX, EOS_IDX]], dtype=np.int32)
+    lens = np.array([3], dtype=np.int32)  # gold content incl. its eos
+    d = batch_levenshtein(pred, gold, lens, SOS_IDX, EOS_IDX)
+    assert d == levenshtein("CAB", "CB") == 1

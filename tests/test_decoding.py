@@ -1,0 +1,111 @@
+"""Beam search: correctness vs greedy, finished-hypothesis freezing.
+
+The reference never implemented beam search (empty branch at
+src/models.py:486-490); these tests define its contract.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from attention_based_e2e_asr_dnn_tpu.decoding.beam import (
+    backtrace,
+    beam_search,
+    make_las_beam_step,
+)
+from attention_based_e2e_asr_dnn_tpu.models.las import (
+    LASConfig,
+    ListenerConfig,
+    SpellerConfig,
+    las_init,
+    listener_apply,
+    speller_apply,
+)
+
+CFG = LASConfig(
+    listener=ListenerConfig(input_dim=15, uniform_hid_dim=16, lstm_layers=1,
+                            plstm_layers=1, init_dropout=0.0, mid_dropout=0.0,
+                            final_dropout=0.0),
+    speller=SpellerConfig(enc_out_dim=32, att_proj_dim=8, att_heads=1,
+                          dec_vocab_size=30, dec_emb_dim=16,
+                          dec_lstm_hid_dim=16, dec_lstm_out_dim=8,
+                          dec_lstm_dropout=0.0, CHR_MAX_STEPS=12),
+)
+
+
+def _encodings(B=2, T=16):
+    params = las_init(jax.random.key(0), CFG)
+    x = jax.random.normal(jax.random.key(1), (B, T, 15))
+    lx = jnp.array([T, T - 6][:B])
+    enc_h, enc_l = listener_apply(params["listener"], CFG.listener, None, x, lx)
+    return params, enc_h, enc_l, x, lx
+
+
+def test_beam1_equals_greedy():
+    params, enc_h, enc_l, _, _ = _encodings()
+    out = speller_apply(params["speller"], CFG.speller, None, enc_h, enc_l,
+                        train=False)
+    greedy = np.asarray(jnp.argmax(out.logits, axis=-1))
+    beam1 = beam_search(params["speller"], CFG.speller, enc_h, enc_l,
+                        beam_size=1)
+    np.testing.assert_array_equal(beam1, greedy)
+
+
+def test_beam_score_never_worse_than_greedy():
+    """The beam's best total logprob must be >= the greedy path's logprob."""
+    params, enc_h, enc_l, _, _ = _encodings()
+    out = speller_apply(params["speller"], CFG.speller, None, enc_h, enc_l,
+                        train=False)
+    logp = np.asarray(jax.nn.log_softmax(out.logits, axis=-1))
+    greedy = logp.max(axis=-1).sum(axis=-1)  # greedy per-step max, summed
+
+    from attention_based_e2e_asr_dnn_tpu.decoding.beam import _beam_decode_scan
+
+    _, _, _, final_scores, _ = _beam_decode_scan(
+        params["speller"], CFG.speller, enc_h, enc_l, beam_size=4,
+        max_steps=CFG.speller.CHR_MAX_STEPS,
+    )
+    best = np.asarray(final_scores).max(axis=1)
+    # N.B. greedy here never emits eos-freeze, so compare only when the beam's
+    # best hyp also never finished; with random weights both typically run the
+    # full horizon. Allow tiny numerical slack.
+    assert np.all(best >= greedy - 1e-3)
+
+
+def test_beam_keeps_k_distinct_hypotheses():
+    params, enc_h, enc_l, _, _ = _encodings(B=1)
+    from attention_based_e2e_asr_dnn_tpu.decoding.beam import _beam_decode_scan
+
+    tokens, parents, fin, scores, _ = _beam_decode_scan(
+        params["speller"], CFG.speller, enc_h, enc_l, beam_size=4, max_steps=8,
+    )
+    seqs = {tuple(backtrace(np.asarray(tokens), np.asarray(parents), 4, 0, k))
+            for k in range(4)}
+    assert len(seqs) == 4  # all hypotheses distinct
+    s = np.asarray(scores)[0]
+    assert np.all(np.diff(s) <= 1e-6)  # sorted descending by top_k
+
+
+def test_finished_hypotheses_freeze_scores():
+    """Once a hyp emits <eos>, its score must stop changing."""
+    params, enc_h, enc_l, _, _ = _encodings(B=1)
+    sp = dict(params["speller"])
+    # bias the classifier hard toward <eos> so everything finishes immediately
+    sp["cls_b"] = sp["cls_b"].at[CFG.speller.CHR_PAD_IDX].set(50.0)
+    from attention_based_e2e_asr_dnn_tpu.decoding.beam import _beam_decode_scan
+
+    tokens, parents, fin, scores, finished = _beam_decode_scan(
+        sp, CFG.speller, enc_h, enc_l, beam_size=3, max_steps=10,
+    )
+    assert bool(np.asarray(finished).all())
+    # all tokens after the first step are <eos>
+    assert np.all(np.asarray(tokens)[1:] == CFG.speller.CHR_PAD_IDX)
+
+
+def test_las_beam_step_end_to_end():
+    params, _, _, x, lx = _encodings()
+    step = make_las_beam_step(CFG, beam_size=3)
+    ids = step(params, x, lx)
+    assert ids.shape == (2, CFG.speller.CHR_MAX_STEPS)
+    assert ids.dtype == np.int32

@@ -1,0 +1,196 @@
+"""End-to-end pipeline test: train.main -> checkpoints -> infer.main on a
+fabricated reference-layout dataset (the SURVEY.md §4 mini integration test).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from attention_based_e2e_asr_dnn_tpu.constants import EOS_IDX, SOS_IDX, VOCAB_MAP
+
+
+def _make_dataset(root, n=12, seed=0):
+    """Reference data layout: mfcc/*.npy + transcript/raw/*.npy + template."""
+    rng = np.random.default_rng(seed)
+    words = ["HI", "YO", "HEY ALL", "OK"]
+    char_codes = rng.normal(size=(30, 15)).astype(np.float32) * 2.0
+    for split in ("train-clean-100", "dev-clean", "test-clean"):
+        mfcc = os.path.join(root, split, "mfcc")
+        raw = os.path.join(root, split, "transcript", "raw")
+        os.makedirs(mfcc, exist_ok=True)
+        os.makedirs(raw, exist_ok=True)
+        labels = []
+        for i in range(n):
+            text = words[i % len(words)]
+            ids = [VOCAB_MAP[c] for c in text]
+            # learnable features: each char's code repeated 4 frames
+            feats = char_codes[ids].repeat(4, axis=0)
+            feats += rng.normal(size=feats.shape).astype(np.float32) * 0.05
+            np.save(os.path.join(mfcc, f"utt{i:03d}.npy"), feats)
+            np.save(os.path.join(raw, f"utt{i:03d}.npy"),
+                    np.array(["<sos>"] + list(text) + ["<eos>"]))
+            labels.append(text)
+        # submission template
+        import pandas as pd
+
+        pd.DataFrame({"id": list(range(n)), "label": ["X"] * n}).to_csv(
+            os.path.join(root, split, "transcript", "random_submission.csv"),
+            index=False,
+        )
+    return words
+
+
+@pytest.fixture(scope="module")
+def pipeline_dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    words = _make_dataset(str(root))
+    return str(root), words
+
+
+def _train_config(root, exp_dir):
+    return {
+        "TRN_FOLDER": os.path.join(root, "train-clean-100"),
+        "DEV_FOLDER": os.path.join(root, "dev-clean"),
+        "TST_FOLDER": os.path.join(root, "test-clean"),
+        "EXP_FOLDER": exp_dir,
+        "MST_FOLDER": os.path.join(exp_dir, "milestones"),
+        "seed": 1,
+        "epochs": 2,
+        "batch_size": 4,
+        "accu_grad": 1,
+        "grad_norm": 5.0,
+        "eval_ld_interval": 1,
+        "init_force": False,
+        "tf_rate": 1.0,
+        "max_savings": 2,
+        "use_specaug": False,
+        "compute_dtype": "float32",
+        "pad_time_multiple": 16,
+        "pad_label_multiple": 8,
+        "scan_unroll": 2,
+        "wandb": {"use": False},
+        "finetune": {"use": False, "reinit_lr": False, "checkpoint": None},
+        "model": {
+            "tag": "e2e-test",
+            "configs": {
+                "listener_configs": {
+                    "input_dim": 15, "uniform_hid_dim": 16, "lstm_layers": 1,
+                    "plstm_layers": 1, "bidirectional": True,
+                    "init_dropout": 0.0, "mid_dropout": 0.0,
+                    "final_dropout": 0.0,
+                },
+                "speller_configs": {
+                    "att_proj_dim": 8, "att_heads": 1, "att_dropout": 0.0,
+                    "dec_emb_dim": 16, "dec_emb_dropout": 0.0,
+                    "dec_lstm_hid_dim": 16, "dec_lstm_out_dim": 8,
+                    "dec_lstm_dropout": 0.0, "CHR_MAX_STEPS": 16,
+                    "USE_GREEDY": True,
+                },
+            },
+        },
+        "optimizer": {"name": "adamw",
+                      "configs": {"lr": 0.005, "weight_decay": 1e-6,
+                                  "amsgrad": True}},
+        "batch_scheduler": {"use": False, "configs": {}},
+        "epoch_scheduler": {"use": True},
+        "tf_rate_scheduler": {"use": False, "configs": {}},
+        "dropout_scheduler": {"use": False, "configs": {}},
+    }
+
+
+def test_train_infer_roundtrip(pipeline_dirs, tmp_path):
+    from attention_based_e2e_asr_dnn_tpu import infer as infer_mod
+    from attention_based_e2e_asr_dnn_tpu import train as train_mod
+
+    root, words = pipeline_dirs
+    exp_dir = str(tmp_path / "experiments")
+    cfg_path = str(tmp_path / "cfg.yml")
+    with open(cfg_path, "w") as fh:
+        yaml.safe_dump(_train_config(root, exp_dir), fh)
+
+    args = train_mod.build_argparser().parse_args(["-c", cfg_path])
+    trainer = train_mod.main(args)
+
+    # training ran 2 epochs and recorded histories
+    assert len(trainer.train_history["loss"]) == 2
+    assert len(trainer.dev_history["ld"]) == 2
+    assert all(np.isfinite(v) for v in trainer.train_history["loss"])
+
+    # experiment folder contents: config.json snapshot, ckpts, imgs, log.json
+    runs = os.listdir(exp_dir)
+    runs = [r for r in runs if r != "milestones"]
+    assert len(runs) == 1
+    run_dir = os.path.join(exp_dir, runs[0])
+    assert os.path.exists(os.path.join(run_dir, "config.json"))
+    assert os.path.exists(os.path.join(run_dir, "log.json"))
+    ckpts = os.listdir(os.path.join(run_dir, "ckpts"))
+    assert any(c.startswith("min-") for c in ckpts)
+    imgs = os.listdir(os.path.join(run_dir, "imgs"))
+    assert "attention-map-epoch0.png" in imgs
+
+    # config.json re-read rebuilds the exact model for inference
+    infer_cfg = {
+        "SOME_FOLDER": os.path.join(root, "test-clean"),
+        "exp_folder": run_dir,
+        "use_greedy": True,
+        "beam_size": 0,
+        "batch_size": 4,
+        "pad_time_multiple": 16,
+        "run_all": False,
+        "epoch_num": None,
+        "run_avg": True,
+    }
+    inf_path = str(tmp_path / "infer.yml")
+    with open(inf_path, "w") as fh:
+        yaml.safe_dump(infer_cfg, fh)
+    infer_mod.main(infer_mod.build_argparser().parse_args(["-c", inf_path]))
+
+    preds_dir = os.path.join(run_dir, "preds")
+    pred_files = os.listdir(preds_dir)
+    assert any("avg-all" in f for f in pred_files)
+    # avg checkpoint was created
+    assert "avg-all.ckpt" in os.listdir(os.path.join(run_dir, "ckpts"))
+    # submission preserves template row count and order
+    import pandas as pd
+
+    df = pd.read_csv(os.path.join(preds_dir, [f for f in pred_files
+                                              if f.endswith(".csv")][0]))
+    assert len(df) == 12
+    assert list(df.columns) == ["id", "label"]
+
+
+def test_resume_from_checkpoint(pipeline_dirs, tmp_path):
+    from attention_based_e2e_asr_dnn_tpu import train as train_mod
+
+    root, _ = pipeline_dirs
+    exp_dir = str(tmp_path / "exp2")
+    cfg = _train_config(root, exp_dir)
+    cfg_path = str(tmp_path / "cfg2.yml")
+    with open(cfg_path, "w") as fh:
+        yaml.safe_dump(cfg, fh)
+    trainer = train_mod.main(train_mod.build_argparser().parse_args(["-c", cfg_path]))
+
+    run_dir = [os.path.join(exp_dir, r) for r in os.listdir(exp_dir)
+               if r != "milestones"][0]
+    ckpts = [f for f in os.listdir(os.path.join(run_dir, "ckpts"))
+             if f.endswith(".ckpt")]
+    ckpt_path = os.path.join(run_dir, "ckpts", sorted(ckpts)[-1])
+
+    cfg["finetune"] = {"use": True, "reinit_lr": True, "checkpoint": ckpt_path}
+    cfg["epochs"] = 3
+    cfg["EXP_FOLDER"] = str(tmp_path / "exp3")
+    cfg_path2 = str(tmp_path / "cfg3.yml")
+    with open(cfg_path2, "w") as fh:
+        yaml.safe_dump(cfg, fh)
+    trainer2 = train_mod.main(train_mod.build_argparser().parse_args(["-c", cfg_path2]))
+    # reference resume semantics: epoch = loaded['epoch'] RE-RUNS the saved
+    # epoch (src/train.py:378), so history = loaded history + (epochs - loaded)
+    from attention_based_e2e_asr_dnn_tpu.training.checkpoints import load_checkpoint
+
+    loaded = load_checkpoint(ckpt_path)
+    expect = len(loaded["dev_loss"]) + (3 - loaded["epoch"])
+    assert len(trainer2.dev_history["loss"]) == expect
+    assert trainer2.epoch == 3
