@@ -54,6 +54,9 @@ class ListenerConfig:
     init_dropout: float = 0.2
     mid_dropout: float = 0.3
     final_dropout: float = 0.4
+    # TPU execution knobs (not part of the reference surface)
+    lstm_impl: str = "scan"  # "scan" (lax.scan) | "pallas" (fused kernel)
+    remat: bool = False      # jax.checkpoint each LSTM layer (HBM saver)
 
     @property
     def enc_out_dim(self) -> int:
@@ -146,10 +149,12 @@ def listener_apply(
     h, lengths = locked_lstm_stack_apply(
         params["base"], rng_base, x, lengths,
         cfg.init_dropout, cfg.mid_dropout, cfg.bidirectional, train, unroll,
+        impl=cfg.lstm_impl, remat=cfg.remat,
     )
     h, lengths = pyramidal_lstm_stack_apply(
         params["pyramid"], rng_pyr, h, lengths,
         cfg.mid_dropout, cfg.final_dropout, cfg.bidirectional, train, unroll,
+        impl=cfg.lstm_impl, remat=cfg.remat,
     )
     return h, lengths
 

@@ -127,13 +127,51 @@ def lstm_apply(
 def bilstm_apply(
     params: dict, x: jnp.ndarray, lengths: jnp.ndarray, unroll: int = 8
 ) -> jnp.ndarray:
-    """Bidirectional LSTM: forward + reversed masked scans, concatenated.
+    """Bidirectional LSTM as ONE fused scan, concatenated (B, T, 2H).
 
-    params: {"fwd": ..., "bwd": ...}. Returns (B, T, 2H).
+    Both directions run inside a single ``lax.scan``: the time-flipped
+    sequence is stacked on a leading direction axis and the recurrent matmul
+    becomes a (2, B, H) x (2, H, 4H) batched MXU op. This HALVES the
+    sequential step count vs. scanning each direction separately — on TPU the
+    recurrence is latency-bound, so this is ~2x on the encoder.
     """
-    h_fwd = lstm_apply(params["fwd"], x, lengths, reverse=False, unroll=unroll)
-    h_bwd = lstm_apply(params["bwd"], x, lengths, reverse=True, unroll=unroll)
-    return jnp.concatenate([h_fwd, h_bwd], axis=-1)
+    batch, seq_len, _ = x.shape
+    hidden_dim = params["fwd"]["w_hh"].shape[0]
+    dtype = x.dtype
+    prec = matmul_precision(dtype)
+
+    xp_f = jnp.einsum("btd,dh->bth", x, params["fwd"]["w_ih"].astype(dtype),
+                      precision=prec) + params["fwd"]["b"].astype(dtype)
+    xp_b = jnp.einsum("btd,dh->bth", x, params["bwd"]["w_ih"].astype(dtype),
+                      precision=prec) + params["bwd"]["b"].astype(dtype)
+
+    valid = length_mask(lengths, seq_len)                    # (B, T)
+    xp = jnp.stack([xp_f, jnp.flip(xp_b, axis=1)], axis=0)   # (2, B, T, 4H)
+    vstack = jnp.stack([valid, jnp.flip(valid, axis=1)], 0)  # (2, B, T)
+
+    xp_t = jnp.moveaxis(xp, 2, 0)       # (T, 2, B, 4H)
+    valid_t = jnp.moveaxis(vstack, 2, 0)  # (T, 2, B)
+
+    w_hh = jnp.stack([params["fwd"]["w_hh"], params["bwd"]["w_hh"]], 0).astype(dtype)
+    h0 = jnp.zeros((2, batch, hidden_dim), dtype)
+    c0 = jnp.zeros((2, batch, hidden_dim), dtype)
+
+    def step(carry, inp):
+        h, c = carry
+        xp_s, m_s = inp
+        pre = xp_s + jnp.einsum("dbh,dhk->dbk", h, w_hh, precision=prec)
+        h_new, c_new = _gates(pre, c, hidden_dim)
+        m = m_s[:, :, None]
+        h = jnp.where(m, h_new, h)
+        c = jnp.where(m, c_new, c)
+        return (h, c), h
+
+    _, hs = jax.lax.scan(step, (h0, c0), (xp_t, valid_t), unroll=unroll)
+    # hs: (T, 2, B, H) -> fwd as-is, bwd flipped back
+    h_fwd = jnp.moveaxis(hs[:, 0], 0, 1)                 # (B, T, H)
+    h_bwd = jnp.flip(jnp.moveaxis(hs[:, 1], 0, 1), axis=1)
+    out = jnp.concatenate([h_fwd, h_bwd], axis=-1)
+    return out * valid[:, :, None].astype(dtype)
 
 
 def bilstm_init(rng: jax.Array, in_dim: int, hidden_dim: int, dtype=jnp.float32) -> dict:
@@ -169,6 +207,26 @@ def locked_lstm_stack_init(
     return layers
 
 
+def _layer_apply(layer, x, lengths, bidirectional, unroll, impl, remat):
+    """Dispatch one (Bi)LSTM layer: lax.scan ('scan') or Pallas ('pallas'),
+    optionally rematerialized (recompute activations in backward to trade
+    FLOPs for HBM, jax.checkpoint)."""
+    if impl == "pallas":
+        from attention_based_e2e_asr_dnn_tpu.ops.lstm_pallas import (
+            bilstm_apply_pallas,
+            lstm_apply_pallas,
+        )
+
+        fn = (lambda lyr, xx, ll: bilstm_apply_pallas(lyr, xx, ll)) if bidirectional \
+            else (lambda lyr, xx, ll: lstm_apply_pallas(lyr, xx, ll))
+    else:
+        fn = (lambda lyr, xx, ll: bilstm_apply(lyr, xx, ll, unroll=unroll)) if bidirectional \
+            else (lambda lyr, xx, ll: lstm_apply(lyr, xx, ll, unroll=unroll))
+    if remat:
+        fn = jax.checkpoint(fn)
+    return fn(layer, x, lengths)
+
+
 def locked_lstm_stack_apply(
     params: list,
     rng: Optional[jax.Array],
@@ -179,6 +237,8 @@ def locked_lstm_stack_apply(
     bidirectional: bool = True,
     train: bool = False,
     unroll: int = 8,
+    impl: str = "scan",
+    remat: bool = False,
 ):
     """LockedLSTM.forward parity (reference: src/modules.py:67-85).
 
@@ -190,10 +250,7 @@ def locked_lstm_stack_apply(
 
     for i, layer in enumerate(params):
         rate = mid_dropout if i else init_dropout
-        if bidirectional:
-            x = bilstm_apply(layer, x, lengths, unroll=unroll)
-        else:
-            x = lstm_apply(layer, x, lengths, unroll=unroll)
+        x = _layer_apply(layer, x, lengths, bidirectional, unroll, impl, remat)
         if train and rate > 0.0:
             rng, sub = jax.random.split(rng)
             x = locked_dropout(sub, x, rate, train)
@@ -239,6 +296,8 @@ def pyramidal_lstm_stack_apply(
     bidirectional: bool = True,
     train: bool = False,
     unroll: int = 8,
+    impl: str = "scan",
+    remat: bool = False,
 ):
     """pyramLockedLSTM.forward parity (reference: src/modules.py:158-194).
 
@@ -265,10 +324,7 @@ def pyramidal_lstm_stack_apply(
         rate = mid_dropout if i < num_layers - 1 else final_dropout
         lengths = lengths // 2
         x = x.reshape(batch, seq_len // 2, 2 * dim)
-        if bidirectional:
-            x = bilstm_apply(layer, x, lengths, unroll=unroll)
-        else:
-            x = lstm_apply(layer, x, lengths, unroll=unroll)
+        x = _layer_apply(layer, x, lengths, bidirectional, unroll, impl, remat)
         if train and rate > 0.0:
             rng, sub = jax.random.split(rng)
             x = locked_dropout(sub, x, rate, train)

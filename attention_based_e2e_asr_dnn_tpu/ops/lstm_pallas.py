@@ -44,6 +44,11 @@ except ImportError:  # pragma: no cover
 from attention_based_e2e_asr_dnn_tpu.ops.precision import matmul_precision
 
 
+def _auto_interpret() -> bool:
+    """Pallas TPU kernels only compile on TPU; interpret elsewhere (CPU tests)."""
+    return jax.default_backend() != "tpu"
+
+
 def _lstm_scan_kernel(xp_ref, mask_ref, w_ref, h_out_ref, c_out_ref,
                       h_scratch, c_scratch, *, hidden_dim: int):
     """One grid step t: consume x_proj[t], update carry, emit h_t, c_t."""
@@ -54,11 +59,14 @@ def _lstm_scan_kernel(xp_ref, mask_ref, w_ref, h_out_ref, c_out_ref,
         h_scratch[:] = jnp.zeros_like(h_scratch)
         c_scratch[:] = jnp.zeros_like(c_scratch)
 
+    # Gate math in fp32: the h/c scratch carries are fp32 for numerical
+    # stability over long sequences, and Mosaic's transcendentals want a
+    # uniform element type (bf16 sigmoid hits a mixed-dtype broadcast bug).
     h = h_scratch[:]
     c = c_scratch[:]
-    pre = xp_ref[0] + jnp.dot(
-        h, w_ref[:], preferred_element_type=jnp.float32
-    ).astype(xp_ref.dtype)
+    pre = xp_ref[0].astype(jnp.float32) + jnp.dot(
+        h.astype(w_ref.dtype), w_ref[:], preferred_element_type=jnp.float32
+    )
 
     i = jax.nn.sigmoid(pre[:, 0 * hidden_dim : 1 * hidden_dim])
     f = jax.nn.sigmoid(pre[:, 1 * hidden_dim : 2 * hidden_dim])
@@ -67,18 +75,23 @@ def _lstm_scan_kernel(xp_ref, mask_ref, w_ref, h_out_ref, c_out_ref,
     c_new = f * c + i * g
     h_new = o * jnp.tanh(c_new)
 
-    m = mask_ref[0][:, None]  # (B, 1) 1.0 where valid
+    m = mask_ref[0].astype(jnp.float32)  # (B, 1) 1.0 where valid
     h_next = m * h_new + (1.0 - m) * h
     c_next = m * c_new + (1.0 - m) * c
     h_scratch[:] = h_next
     c_scratch[:] = c_next
-    h_out_ref[0] = h_next
-    c_out_ref[0] = c_next
+    h_out_ref[0] = h_next.astype(h_out_ref.dtype)
+    c_out_ref[0] = c_next.astype(c_out_ref.dtype)
 
 
 def _forward_pallas(x_proj: jnp.ndarray, w_hh: jnp.ndarray, mask: jnp.ndarray,
                     interpret: bool = False):
-    """x_proj (T, B, 4H), w_hh (H, 4H), mask (T, B) float -> hs, cs (T, B, H)."""
+    """x_proj (T, B, 4H), w_hh (H, 4H), mask (T, B) float -> hs, cs (T, B, H).
+
+    TPU tiling: B must be a multiple of 8 and 4H a multiple of 128 (callers
+    guard and fall back to the lax.scan path otherwise). The mask rides as
+    (T, B, 1) so its block's last-two dims satisfy the (8, 128)-or-equal rule.
+    """
     seq_len, batch, four_h = x_proj.shape
     hidden_dim = four_h // 4
     dtype = x_proj.dtype
@@ -89,7 +102,7 @@ def _forward_pallas(x_proj: jnp.ndarray, w_hh: jnp.ndarray, mask: jnp.ndarray,
         grid=(seq_len,),
         in_specs=[
             pl.BlockSpec((1, batch, four_h), lambda t: (t, 0, 0)),
-            pl.BlockSpec((1, batch), lambda t: (t, 0)),
+            pl.BlockSpec((1, batch, 1), lambda t: (t, 0, 0)),
             pl.BlockSpec((hidden_dim, four_h), lambda t: (0, 0)),
         ],
         out_specs=[
@@ -101,11 +114,11 @@ def _forward_pallas(x_proj: jnp.ndarray, w_hh: jnp.ndarray, mask: jnp.ndarray,
             jax.ShapeDtypeStruct((seq_len, batch, hidden_dim), dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((batch, hidden_dim), dtype),
-            pltpu.VMEM((batch, hidden_dim), dtype),
+            pltpu.VMEM((batch, hidden_dim), jnp.float32),
+            pltpu.VMEM((batch, hidden_dim), jnp.float32),
         ] if pltpu is not None else None,
         interpret=interpret,
-    )(x_proj, mask.astype(dtype), w_hh.astype(dtype))
+    )(x_proj, mask.astype(dtype)[:, :, None], w_hh.astype(dtype))
     return hs, cs
 
 
@@ -202,12 +215,20 @@ def lstm_apply_pallas(
     x: jnp.ndarray,
     lengths: jnp.ndarray,
     reverse: bool = False,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Same contract as ops.lstm.lstm_apply, with the Pallas recurrence."""
     from attention_based_e2e_asr_dnn_tpu.ops.masking import length_mask
 
+    if interpret is None:
+        interpret = _auto_interpret()
     batch, seq_len, _ = x.shape
+    four_h = 4 * params["w_hh"].shape[0]
+    if not interpret and (batch % 8 != 0 or four_h % 128 != 0):
+        # TPU tiling can't block this shape; use the lax.scan path.
+        from attention_based_e2e_asr_dnn_tpu.ops.lstm import lstm_apply
+
+        return lstm_apply(params, x, lengths, reverse=reverse)
     dtype = x.dtype
     x_proj = jnp.einsum(
         "btd,dh->bth", x, params["w_ih"].astype(dtype),
@@ -232,7 +253,7 @@ def lstm_apply_pallas(
 
 
 def bilstm_apply_pallas(params: dict, x: jnp.ndarray, lengths: jnp.ndarray,
-                        interpret: bool = False) -> jnp.ndarray:
+                        interpret: bool | None = None) -> jnp.ndarray:
     h_fwd = lstm_apply_pallas(params["fwd"], x, lengths, False, interpret)
     h_bwd = lstm_apply_pallas(params["bwd"], x, lengths, True, interpret)
     return jnp.concatenate([h_fwd, h_bwd], axis=-1)

@@ -173,8 +173,9 @@ def main(args):
         logger=logger,
         shard_batch=shard_batch,
     )
-    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(trainer.state.params))
-    print(f"[model] {n_params/1e6:.2f}M parameters")
+    from attention_based_e2e_asr_dnn_tpu.utils.summary import model_summary
+
+    print(model_summary(trainer.state.params, trncfgs.model.tag))
 
     trainer.train_eval(int(trncfgs.epochs))
     dump_log_json(os.path.join(tgt_folder, "log.json"),

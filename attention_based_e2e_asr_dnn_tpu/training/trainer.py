@@ -144,6 +144,9 @@ class Trainer:
         self.train_step = make_train_step(
             apply_fn, self.tx, accum_steps=self.accu_grad,
             compute_dtype=self.compute_dtype, use_specaug=self.use_specaug,
+            specaug_freq=int(getattr(self.trncfgs, "specaug_freq", 6)),
+            specaug_time=int(getattr(self.trncfgs, "specaug_time", 200)),
+            specaug_iid=bool(getattr(self.trncfgs, "specaug_iid", False)),
         )
         self.eval_step = make_eval_step(apply_fn, compute_dtype=self.compute_dtype)
 

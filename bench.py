@@ -37,6 +37,12 @@ def measure_jax() -> float:
     import jax
     import jax.numpy as jnp
 
+    from attention_based_e2e_asr_dnn_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+
     from attention_based_e2e_asr_dnn_tpu.models.las import (
         las_apply,
         las_config_from_dicts,
@@ -81,14 +87,17 @@ def measure_jax() -> float:
 
     for _ in range(WARMUP_STEPS):
         state, metrics, _ = step(state, x, lx, y, ly, tf, lr)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])  # full sync (block_until_ready under-waits on
+    # this TPU relay; a host transfer is the honest barrier)
 
-    t0 = time.perf_counter()
+    times = []
     for _ in range(MEASURE_STEPS):
+        t0 = time.perf_counter()
         state, metrics, _ = step(state, x, lx, y, ly, tf, lr)
-    jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - t0
-    return BATCH * MEASURE_STEPS / dt
+        float(metrics["loss"])
+        times.append(time.perf_counter() - t0)
+    median = sorted(times)[len(times) // 2]
+    return BATCH / median
 
 
 def measure_torch_baseline() -> float:

@@ -72,3 +72,44 @@ def test_pallas_masked_gradients_zero_past_length():
     gx = np.asarray(jax.grad(loss)(x))
     assert np.all(gx[0, 3:] == 0.0)   # frames past length get no grad
     assert np.any(gx[1, 3:] != 0.0)
+
+
+def test_listener_pallas_impl_matches_scan():
+    """lstm_impl='pallas' dispatch through the Listener == 'scan' impl."""
+    import dataclasses
+    from attention_based_e2e_asr_dnn_tpu.models.las import (
+        ListenerConfig, listener_apply, listener_init)
+
+    cfg = ListenerConfig(input_dim=15, uniform_hid_dim=8, lstm_layers=1,
+                         plstm_layers=1, init_dropout=0.0, mid_dropout=0.0,
+                         final_dropout=0.0)
+    params = listener_init(jax.random.key(0), cfg)
+    x = jax.random.normal(jax.random.key(1), (2, 8, 15))
+    lx = jnp.array([8, 5])
+    h_scan, l_scan = listener_apply(params, cfg, None, x, lx)
+    cfg_p = dataclasses.replace(cfg, lstm_impl="pallas")
+    h_pal, l_pal = listener_apply(params, cfg_p, None, x, lx)
+    np.testing.assert_allclose(np.asarray(h_pal), np.asarray(h_scan), atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(l_pal), np.asarray(l_scan))
+
+
+def test_listener_remat_matches_no_remat():
+    import dataclasses
+    from attention_based_e2e_asr_dnn_tpu.models.las import (
+        ListenerConfig, listener_apply, listener_init)
+
+    cfg = ListenerConfig(input_dim=15, uniform_hid_dim=8, lstm_layers=1,
+                         plstm_layers=1, init_dropout=0.0, mid_dropout=0.0,
+                         final_dropout=0.0)
+    params = listener_init(jax.random.key(0), cfg)
+    x = jax.random.normal(jax.random.key(1), (2, 8, 15))
+    lx = jnp.array([8, 5])
+
+    def loss(p, c):
+        return jnp.sum(listener_apply(p, c, None, x, lx)[0] ** 2)
+
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    g0 = jax.grad(lambda p: loss(p, cfg))(params)
+    g1 = jax.grad(lambda p: loss(p, cfg_r))(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
