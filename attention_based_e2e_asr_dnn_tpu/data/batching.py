@@ -74,12 +74,16 @@ class BucketBatcher:
         self.shuffle_window = shuffle_window
         self.seed = seed
         self.drop_last = drop_last
-        lengths = []
-        for i in range(len(dataset)):
-            item = dataset[i]
-            x = item[0] if has_labels else item
-            lengths.append(len(x))
-        self._lengths = np.array(lengths, dtype=np.int64)
+        if hasattr(dataset, "feature_lengths"):
+            # lazy datasets expose lengths without loading payloads
+            self._lengths = np.asarray(dataset.feature_lengths, dtype=np.int64)
+        else:
+            lengths = []
+            for i in range(len(dataset)):
+                item = dataset[i]
+                x = item[0] if has_labels else item
+                lengths.append(len(x))
+            self._lengths = np.array(lengths, dtype=np.int64)
         self._sorted = np.argsort(-self._lengths, kind="stable")
 
     def __len__(self) -> int:
@@ -110,6 +114,18 @@ class BucketBatcher:
         n_real = len(take)
         while len(take) < self.batch_size:  # repeat-pad the final batch
             take.append(take[-1])
+
+        if not self.has_labels and hasattr(self.dataset, "assemble"):
+            # lazy path: the native C++ thread pool reads + pads in one pass
+            t_pad = pad_to_multiple(
+                int(self._lengths[take].max()), self.pad_time_multiple
+            )
+            x, lx = self.dataset.assemble(take, t_pad)
+            indices = np.array(
+                list(idx) + [-1] * (self.batch_size - n_real), dtype=np.int64
+            )
+            return Batch(x=x, lx=lx, indices=indices)
+
         items = [self.dataset[i] for i in take]
         if self.has_labels:
             xs = [it[0] for it in items]

@@ -155,17 +155,60 @@ class Trainer:
         """Remove leading <sos> from labels (reference src/train.py:117)."""
         return y[:, 1:], np.maximum(ly - 1, 0)
 
+    def _prepared_batches(self, batch_iter, depth: int = 2):
+        """Prefetch pipeline: device_put batch n+1 while step n runs.
+
+        jax.device_put is async, so enqueueing the next padded batch before
+        consuming the current one overlaps host->device transfer with compute
+        (the reference got this from DataLoader worker prefetch).
+        """
+        from collections import deque
+
+        queue = deque()
+        for bt in batch_iter:
+            y, ly = self._strip_sos(bt.y, bt.ly)
+            ly = np.where(bt.indices >= 0, ly, 0)  # repeat-padded rows: no loss
+            device_batch = self.shard_batch(
+                (jnp.asarray(bt.x), jnp.asarray(bt.lx.astype(np.int32)),
+                 jnp.asarray(y.astype(np.int32)), jnp.asarray(ly.astype(np.int32)))
+            )
+            queue.append((device_batch, y, ly, bt.indices))
+            if len(queue) >= depth:
+                yield queue.popleft()
+        while queue:
+            yield queue.popleft()
+
+    def _progress(self, iterable, desc: str):
+        """tqdm batch bar when on a tty (reference: src/train.py:110)."""
+        try:
+            import sys
+
+            if sys.stderr.isatty():
+                from tqdm import tqdm
+
+                return tqdm(iterable, total=len(self.trn_batcher), desc=desc,
+                            dynamic_ncols=True, leave=False)
+        except ImportError:
+            pass
+        return iterable
+
     def train_epoch(self):
         total_loss = total_ppl = 0.0
         n_batches = 0
         att_map = None
         init_force = self.init_force_cfg and self.epoch < 10  # src/train.py:113
-        for bt in self.trn_batcher.epoch(self.epoch):
-            y, ly = self._strip_sos(bt.y, bt.ly)
-            ly = np.where(bt.indices >= 0, ly, 0)  # repeat-padded rows: no loss
-            batch = self.shard_batch(
-                (bt.x, bt.lx.astype(np.int32), y.astype(np.int32), ly.astype(np.int32))
-            )
+        profile_cfg = getattr(self.trncfgs, "profile", None)
+        do_profile = (profile_cfg is not None and profile_cfg.use
+                      and self.epoch == int(getattr(profile_cfg, "epoch", 0)))
+        if do_profile:
+            import jax.profiler
+
+            trace_dir = os.path.join(self.saving_dir, "profile")
+            jax.profiler.start_trace(trace_dir)
+        for batch, _, _, _ in self._progress(
+            self._prepared_batches(self.trn_batcher.epoch(self.epoch)),
+            f"train epoch[{self.epoch}]",
+        ):
             self.state, metrics, att_map = self.train_step(
                 self.state, *batch,
                 jnp.asarray(self.tf_rate, jnp.float32),
@@ -180,21 +223,30 @@ class Trainer:
             if self.batch_scheduler and self.batch % self.accu_grad == 0:
                 self.current_lr = self.batch_scheduler.step()
                 self.logger.log({"learning-rate": self.current_lr})
+            if do_profile and n_batches >= int(getattr(profile_cfg, "batches", 5)):
+                import jax.profiler
+
+                jax.profiler.stop_trace()
+                do_profile = False
+                self.logger.print(
+                    f"[profile] trace written to {self.saving_dir}/profile"
+                )
+        if do_profile:
+            import jax.profiler
+
+            jax.profiler.stop_trace()
         return total_loss / max(n_batches, 1), total_ppl / max(n_batches, 1), att_map
 
     def evaluate_epoch(self):
         total_loss = total_ppl = total_ld = 0.0
         n_batches = 0
-        for bt in self.dev_batcher.epoch(0):
-            y, ly = self._strip_sos(bt.y, bt.ly)
-            ly = np.where(bt.indices >= 0, ly, 0)
-            batch = self.shard_batch(
-                (bt.x, bt.lx.astype(np.int32), y.astype(np.int32), ly.astype(np.int32))
-            )
+        for batch, y, ly, indices in self._prepared_batches(
+            self.dev_batcher.epoch(0)
+        ):
             metrics, pred_ids = self.eval_step(self.state.params, *batch)
             total_loss += float(metrics["loss"])
             total_ppl += float(metrics["ppl"])
-            real = bt.indices >= 0
+            real = indices >= 0
             total_ld += batch_levenshtein(
                 np.asarray(pred_ids)[real], y[real], ly[real],
                 self.sos_idx, self.eos_idx,

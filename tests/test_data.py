@@ -138,3 +138,37 @@ def test_lm_dataset(tmp_path):
     p, t = ds[0]
     assert p[0] == VOCAB_MAP["<sos>"] and p[-1] == EOS_IDX
     assert list(t) == [VOCAB_MAP["H"], VOCAB_MAP["I"]]
+
+
+def test_lazy_dataset_native_assembly(tmp_path):
+    """Lazy disk-backed dataset: header-only lengths + batch assembly."""
+    from attention_based_e2e_asr_dnn_tpu.data.lazy import (
+        LazyAsrTestDataset, npy_header_shape)
+
+    mfcc = tmp_path / "mfcc"
+    mfcc.mkdir()
+    rng = np.random.default_rng(3)
+    arrays = []
+    for i, t in enumerate([60, 35, 90, 10]):
+        a = rng.normal(size=(t, 15)).astype(np.float32)
+        np.save(mfcc / f"u{i}.npy", a)
+        arrays.append(a)
+
+    assert npy_header_shape(str(mfcc / "u0.npy")) == (60, 15)
+
+    ds = LazyAsrTestDataset(str(tmp_path))
+    assert list(ds.feature_lengths) == [60, 35, 90, 10]
+
+    b = BucketBatcher(ds, batch_size=2, pad_time_multiple=32, has_labels=False)
+    seen = {}
+    for bt in b.epoch(0):
+        assert bt.x.shape[1] % 32 == 0
+        for row, orig in enumerate(bt.indices):
+            if orig >= 0:
+                seen[int(orig)] = (bt.x[row], int(bt.lx[row]))
+    assert sorted(seen) == [0, 1, 2, 3]
+    for i, a in enumerate(arrays):
+        x_row, lx = seen[i]
+        assert lx == len(a)
+        np.testing.assert_array_equal(x_row[: len(a)], a)
+        assert np.all(x_row[len(a):] == 0.0)
