@@ -351,3 +351,48 @@ def las_apply(
         params["speller"], cfg.speller, rng_spell, enc_h, enc_l, dec_y,
         tf_rate, init_force, train,
     )
+
+
+if __name__ == "__main__":
+    # Seeded smoke run (reference: src/models.py:532-676): random batch ->
+    # Listener -> Speller -> summary + attention-map PNG.
+    import os
+
+    import numpy as np
+
+    from attention_based_e2e_asr_dnn_tpu.utils.plotting import pay_attention_multihead
+    from attention_based_e2e_asr_dnn_tpu.utils.summary import model_summary
+
+    SEED = 416
+    cfg = las_config_from_dicts(
+        dict(input_dim=15, uniform_hid_dim=512, lstm_layers=1, plstm_layers=3,
+             init_dropout=0.2, mid_dropout=0.3, final_dropout=0.3),
+        dict(att_proj_dim=256, att_heads=1, att_dropout=0.2, dec_emb_dim=512,
+             dec_emb_dropout=0.0, dec_lstm_hid_dim=512, dec_lstm_out_dim=256,
+             dec_lstm_dropout=0.2, CHR_MAX_STEPS=20),
+    )
+    params = las_init(jax.random.key(SEED), cfg)
+    print(model_summary(params, "ListenAttendSpell"))
+
+    rng = np.random.default_rng(SEED)
+    batch = 4
+    lx = rng.integers(800, 1200, size=(batch,))
+    t_pad = int(((lx.max() + 7) // 8) * 8)
+    x = np.zeros((batch, t_pad, 15), np.float32)
+    for b in range(batch):
+        x[b, : lx[b]] = rng.random((lx[b], 15), dtype=np.float32)
+    ly = rng.integers(1, 60, size=(batch,))
+    y = np.full((batch, int(ly.max())), cfg.speller.CHR_PAD_IDX, np.int32)
+    for b in range(batch):
+        y[b, : ly[b]] = rng.integers(0, 30, size=(ly[b],))
+
+    out = las_apply(params, cfg, jax.random.key(SEED + 1), jnp.asarray(x),
+                    jnp.asarray(lx.astype(np.int32)), jnp.asarray(y),
+                    tf_rate=0.9, train=True)
+    print(f"logits: {out.logits.shape}, att_map: {out.att_map.shape}")
+
+    img_dir = "./imgs/example"
+    os.makedirs(img_dir, exist_ok=True)
+    print("saved:", pay_attention_multihead(np.asarray(out.att_map,
+                                                       dtype=np.float32),
+                                            epoch=-1, root_dir=img_dir))

@@ -29,6 +29,14 @@ from attention_based_e2e_asr_dnn_tpu.data.specaug import specaugment
 from attention_based_e2e_asr_dnn_tpu.training.loss import masked_ce_loss
 
 
+def _cast_features(x, compute_dtype):
+    """Cast float features to the compute dtype; integer inputs (the
+    Rewriter's char ids) pass through untouched."""
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        return x.astype(compute_dtype)
+    return x
+
+
 class TrainState(NamedTuple):
     params: Any
     opt_state: Any
@@ -84,7 +92,7 @@ def make_train_step(
 
     def loss_fn(params, rng, x, lx, y, ly, tf_rate, init_force):
         out = apply_fn(
-            params, rng, x.astype(compute_dtype), lx, dec_y=y,
+            params, rng, _cast_features(x, compute_dtype), lx, dec_y=y,
             tf_rate=tf_rate, init_force=init_force, train=True,
         )
         loss, n_tokens = masked_ce_loss(out.logits, y, ly)
@@ -136,7 +144,7 @@ def make_eval_step(apply_fn, compute_dtype=jnp.float32):
     @jax.jit
     def step(params, x, lx, y, ly):
         out = apply_fn(
-            params, None, x.astype(compute_dtype), lx, dec_y=None,
+            params, None, _cast_features(x, compute_dtype), lx, dec_y=None,
             tf_rate=0.0, init_force=False, train=False,
         )
         logits = out.logits
@@ -154,7 +162,7 @@ def make_infer_step(apply_fn, compute_dtype=jnp.float32):
     @jax.jit
     def step(params, x, lx):
         out = apply_fn(
-            params, None, x.astype(compute_dtype), lx, dec_y=None,
+            params, None, _cast_features(x, compute_dtype), lx, dec_y=None,
             tf_rate=0.0, init_force=False, train=False,
         )
         return jnp.argmax(out.logits, axis=-1).astype(jnp.int32)

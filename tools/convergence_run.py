@@ -1,0 +1,112 @@
+"""Convergence harness: train LAS on the synthetic speech-like dataset and
+verify dev Levenshtein distance collapses toward 0.
+
+This is the end-to-end correctness certificate available without shipping
+LibriSpeech: the synthetic data (tools/make_synthetic_data.py) has the same
+monotonic character-to-frame alignment structure as speech, so a correct LAS
+stack must learn attention alignment and drive LD down. Run:
+
+    python tools/make_synthetic_data.py --out-dir /tmp/synth
+    python tools/convergence_run.py --data-dir /tmp/synth --epochs 20
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import yaml
+
+
+def make_config(data_dir: str, exp_dir: str, epochs: int,
+                batch_size: int = 32) -> dict:
+    return {
+        "TRN_FOLDER": os.path.join(data_dir, "train-clean-100"),
+        "DEV_FOLDER": os.path.join(data_dir, "dev-clean"),
+        "TST_FOLDER": os.path.join(data_dir, "test-clean"),
+        "EXP_FOLDER": exp_dir,
+        "MST_FOLDER": os.path.join(exp_dir, "milestones"),
+        "seed": 416,
+        "epochs": epochs,
+        "batch_size": batch_size,
+        "accu_grad": 1,
+        "grad_norm": 5.0,
+        "eval_ld_interval": 1,
+        "init_force": False,
+        "tf_rate": 1.0,
+        "max_savings": 2,
+        "use_specaug": False,
+        "compute_dtype": "bfloat16",
+        "pad_time_multiple": 128,
+        "pad_label_multiple": 32,
+        "scan_unroll": 8,
+        "wandb": {"use": False},
+        "finetune": {"use": False, "reinit_lr": False, "checkpoint": None},
+        "model": {
+            "tag": "synth-LAS",
+            "configs": {
+                "listener_configs": {
+                    "input_dim": 15, "uniform_hid_dim": 256, "lstm_layers": 1,
+                    "plstm_layers": 2, "bidirectional": True,
+                    "init_dropout": 0.1, "mid_dropout": 0.1,
+                    "final_dropout": 0.1,
+                },
+                "speller_configs": {
+                    "att_proj_dim": 128, "att_heads": 1, "att_dropout": 0.0,
+                    "dec_emb_dim": 256, "dec_emb_dropout": 0.0,
+                    "dec_lstm_hid_dim": 256, "dec_lstm_out_dim": 128,
+                    "dec_lstm_dropout": 0.1, "CHR_MAX_STEPS": 120,
+                    "USE_GREEDY": True,
+                },
+            },
+        },
+        "optimizer": {"name": "adamw",
+                      "configs": {"lr": 0.002, "weight_decay": 1e-6,
+                                  "amsgrad": True}},
+        "batch_scheduler": {"use": False, "configs": {}},
+        "epoch_scheduler": {"use": True},
+        "tf_rate_scheduler": {"use": True,
+                              "configs": {"factor": 0.1, "interval": 4,
+                                          "lowest": 0.7}},
+        "dropout_scheduler": {"use": False, "configs": {}},
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--data-dir", required=True)
+    parser.add_argument("--exp-dir", default=None)
+    parser.add_argument("--epochs", type=int, default=20)
+    parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--target-ld", type=float, default=2.0)
+    args = parser.parse_args()
+
+    exp_dir = args.exp_dir or tempfile.mkdtemp(prefix="synth-exp-")
+    cfg = make_config(args.data_dir, exp_dir, args.epochs, args.batch_size)
+    cfg_path = os.path.join(exp_dir, "synth-config.yml")
+    os.makedirs(exp_dir, exist_ok=True)
+    with open(cfg_path, "w") as fh:
+        yaml.safe_dump(cfg, fh)
+
+    from attention_based_e2e_asr_dnn_tpu import train as train_mod
+
+    trainer = train_mod.main(train_mod.build_argparser().parse_args(["-c", cfg_path]))
+    lds = trainer.dev_history["ld"]
+    best = min(lds)
+    result = {
+        "dev_ld_history": lds,
+        "best_dev_ld": best,
+        "target": args.target_ld,
+        "converged": best <= args.target_ld,
+    }
+    print(json.dumps(result))
+    sys.exit(0 if result["converged"] else 1)
+
+
+if __name__ == "__main__":
+    main()
