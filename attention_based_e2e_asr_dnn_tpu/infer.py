@@ -90,6 +90,12 @@ def infer_one_checkpoint(model_cfgs, infcfgs, checkpoint_filepath, batcher,
             las_cfg, beam_size=beam,
             length_alpha=float(getattr(infcfgs, "length_alpha", 0.0) or 0.0),
         )
+    elif bool(getattr(infcfgs, "early_stop", True)):
+        # all-finished early exit: identical strings, ~3-4x faster than the
+        # fixed CHR_MAX_STEPS scan on real utterances
+        from attention_based_e2e_asr_dnn_tpu.decoding.greedy import make_las_greedy_step
+
+        beam_step = make_las_greedy_step(las_cfg)
     preds = decode_dataset(params, apply_fn, batcher, vocab, sos_idx, eos_idx,
                            n_examples, beam_step=beam_step)
 

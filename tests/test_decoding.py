@@ -109,3 +109,36 @@ def test_las_beam_step_end_to_end():
     ids = step(params, x, lx)
     assert ids.shape == (2, CFG.speller.CHR_MAX_STEPS)
     assert ids.dtype == np.int32
+
+
+def test_early_stop_greedy_matches_scan_decode():
+    """while_loop early-exit decode == fixed-step scan decode (as strings)."""
+    from attention_based_e2e_asr_dnn_tpu.constants import EOS_IDX, SOS_IDX, VOCAB
+    from attention_based_e2e_asr_dnn_tpu.decoding.greedy import (
+        greedy_decode_early_stop, make_las_greedy_step)
+    from attention_based_e2e_asr_dnn_tpu.utils.levenshtein import ids_to_str
+
+    params, enc_h, enc_l, x, lx = _encodings()
+    out = speller_apply(params["speller"], CFG.speller, None, enc_h, enc_l,
+                        train=False)
+    scan_ids = np.asarray(jnp.argmax(out.logits, axis=-1))
+    es_ids = np.asarray(greedy_decode_early_stop(params["speller"], CFG.speller,
+                                                 enc_h, enc_l))
+    for b in range(scan_ids.shape[0]):
+        assert (ids_to_str(scan_ids[b], VOCAB, SOS_IDX, EOS_IDX)
+                == ids_to_str(es_ids[b], VOCAB, SOS_IDX, EOS_IDX))
+
+    step = make_las_greedy_step(CFG)
+    ids2 = np.asarray(step(params, x, lx))
+    np.testing.assert_array_equal(ids2, es_ids)
+
+
+def test_early_stop_pads_after_eos():
+    from attention_based_e2e_asr_dnn_tpu.decoding.greedy import (
+        greedy_decode_early_stop)
+
+    params, enc_h, enc_l, _, _ = _encodings(B=1)
+    sp = dict(params["speller"])
+    sp["cls_b"] = sp["cls_b"].at[CFG.speller.CHR_PAD_IDX].set(50.0)
+    ids = np.asarray(greedy_decode_early_stop(sp, CFG.speller, enc_h, enc_l))
+    assert np.all(ids == CFG.speller.CHR_PAD_IDX)
