@@ -16,7 +16,7 @@ Fixes over the reference (documented):
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
 import numpy as np
 

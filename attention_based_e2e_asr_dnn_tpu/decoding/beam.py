@@ -21,8 +21,8 @@ function is built from the speller params/config directly.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Tuple
+
+
 
 import jax
 import jax.numpy as jnp

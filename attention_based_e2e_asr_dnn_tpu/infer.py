@@ -26,7 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from attention_based_e2e_asr_dnn_tpu.config import Config, load_config
+from attention_based_e2e_asr_dnn_tpu.config import load_config
 from attention_based_e2e_asr_dnn_tpu.data.batching import BucketBatcher
 from attention_based_e2e_asr_dnn_tpu.data.datasets import AsrTestDataset, ToyTestDataset
 from attention_based_e2e_asr_dnn_tpu.models.las import las_apply, las_config_from_dicts

@@ -15,7 +15,7 @@ import argparse
 import dataclasses
 import os
 
-import numpy as np
+
 
 import jax
 import jax.numpy as jnp

@@ -30,7 +30,7 @@ Fallback: non-TPU backends or tiny shapes route to the pure lax.scan path.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp

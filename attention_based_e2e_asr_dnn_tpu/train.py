@@ -15,7 +15,7 @@ import argparse
 import dataclasses
 import json
 import os
-from functools import partial
+
 
 import numpy as np
 
