@@ -23,8 +23,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import yaml
 
 
+ARCHS = {
+    # fast certificate (round-trips in minutes)
+    "small": {
+        "listener": {"uniform_hid_dim": 256, "plstm_layers": 2,
+                     "init_dropout": 0.1, "mid_dropout": 0.1,
+                     "final_dropout": 0.1},
+        "speller": {"att_proj_dim": 128, "dec_emb_dim": 256,
+                    "dec_lstm_hid_dim": 256, "dec_lstm_out_dim": 128,
+                    "dec_lstm_dropout": 0.1},
+    },
+    # flagship base-LAS (reference config/sample-attention.yml:45-68)
+    "base": {
+        "listener": {"uniform_hid_dim": 512, "plstm_layers": 3,
+                     "init_dropout": 0.1, "mid_dropout": 0.1,
+                     "final_dropout": 0.1},
+        "speller": {"att_proj_dim": 256, "dec_emb_dim": 512,
+                    "dec_lstm_hid_dim": 512, "dec_lstm_out_dim": 256,
+                    "dec_lstm_dropout": 0.1},
+    },
+}
+
+
 def make_config(data_dir: str, exp_dir: str, epochs: int,
-                batch_size: int = 32) -> dict:
+                batch_size: int = 32, arch: str = "small") -> dict:
+    a = ARCHS[arch]
     return {
         "TRN_FOLDER": os.path.join(data_dir, "train-clean-100"),
         "DEV_FOLDER": os.path.join(data_dir, "dev-clean"),
@@ -48,20 +71,16 @@ def make_config(data_dir: str, exp_dir: str, epochs: int,
         "wandb": {"use": False},
         "finetune": {"use": False, "reinit_lr": False, "checkpoint": None},
         "model": {
-            "tag": "synth-LAS",
+            "tag": f"synth-LAS-{arch}",
             "configs": {
                 "listener_configs": {
-                    "input_dim": 15, "uniform_hid_dim": 256, "lstm_layers": 1,
-                    "plstm_layers": 2, "bidirectional": True,
-                    "init_dropout": 0.1, "mid_dropout": 0.1,
-                    "final_dropout": 0.1,
+                    "input_dim": 15, "lstm_layers": 1, "bidirectional": True,
+                    **a["listener"],
                 },
                 "speller_configs": {
-                    "att_proj_dim": 128, "att_heads": 1, "att_dropout": 0.0,
-                    "dec_emb_dim": 256, "dec_emb_dropout": 0.0,
-                    "dec_lstm_hid_dim": 256, "dec_lstm_out_dim": 128,
-                    "dec_lstm_dropout": 0.1, "CHR_MAX_STEPS": 120,
-                    "USE_GREEDY": True,
+                    "att_heads": 1, "att_dropout": 0.0, "dec_emb_dropout": 0.0,
+                    "CHR_MAX_STEPS": 120, "USE_GREEDY": True,
+                    **a["speller"],
                 },
             },
         },
@@ -84,10 +103,12 @@ def main():
     parser.add_argument("--epochs", type=int, default=20)
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument("--target-ld", type=float, default=2.0)
+    parser.add_argument("--arch", choices=list(ARCHS), default="small")
     args = parser.parse_args()
 
     exp_dir = args.exp_dir or tempfile.mkdtemp(prefix="synth-exp-")
-    cfg = make_config(args.data_dir, exp_dir, args.epochs, args.batch_size)
+    cfg = make_config(args.data_dir, exp_dir, args.epochs, args.batch_size,
+                      args.arch)
     cfg_path = os.path.join(exp_dir, "synth-config.yml")
     os.makedirs(exp_dir, exist_ok=True)
     with open(cfg_path, "w") as fh:
