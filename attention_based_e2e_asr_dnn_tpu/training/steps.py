@@ -148,8 +148,13 @@ def make_eval_step(apply_fn, compute_dtype=jnp.float32):
             tf_rate=0.0, init_force=False, train=False,
         )
         logits = out.logits
-        max_label = y.shape[1]
-        loss, n_tokens = masked_ce_loss(logits[:, :max_label, :], y, ly)
+        # truncate BOTH sides to the shorter horizon: the reference slices
+        # logits[:, :label_len] (src/train.py:226) and implicitly requires
+        # CHR_MAX_STEPS >= label_len; this stays correct either way
+        n = min(logits.shape[1], y.shape[1])
+        loss, n_tokens = masked_ce_loss(
+            logits[:, :n, :], y[:, :n], jnp.minimum(ly, n)
+        )
         pred_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return {"loss": loss, "ppl": jnp.exp(loss), "n_tokens": n_tokens}, pred_ids
 
