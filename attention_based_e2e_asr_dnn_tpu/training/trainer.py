@@ -257,7 +257,22 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def train_eval(self, epochs: int):
-        """Full training loop (reference train_eval, src/train.py:261-297)."""
+        """Full training loop with crash-save (reference train_eval,
+        src/train.py:261-297; the emergency checkpoint is an addition — the
+        reference's only recovery was manual resume from the last best)."""
+        try:
+            self._train_eval_loop(epochs)
+        except (KeyboardInterrupt, Exception):
+            path = os.path.join(self.saving_dir, "ckpts",
+                                f"emergency-epoch[{self.epoch}].ckpt")
+            try:
+                self.save(path)
+                self.logger.print(f"[crash-save] state written to {path}")
+            except Exception as save_exc:  # pragma: no cover
+                self.logger.print(f"[crash-save] FAILED: {save_exc}")
+            raise
+
+    def _train_eval_loop(self, epochs: int):
         while self.epoch < epochs:
             t0 = time.time()
             if self.tf_scheduler:
