@@ -69,3 +69,23 @@ def test_batch_levenshtein_matches_string_distance():
     lens = np.array([3], dtype=np.int32)  # gold content incl. its eos
     d = batch_levenshtein(pred, gold, lens, SOS_IDX, EOS_IDX)
     assert d == levenshtein("CAB", "CB") == 1
+
+
+def test_resolve_vocab_mini_branch(tmp_path):
+    """Mini-dataset vocab rebuild (reference src/train.py:495-501)."""
+    from attention_based_e2e_asr_dnn_tpu.train import resolve_vocab
+
+    mini = tmp_path / "mini-data"
+    mini.mkdir()
+    labels = np.array([["[SOS]", "A", "B", "[EOS]"],
+                       ["[SOS]", "B", "C", "[EOS]"]])
+    np.save(mini / "dev_labels.npy", labels)
+    use_mini, vocab, vocab_map, sos_key, eos_key = resolve_vocab(
+        {"TRN_FOLDER": str(mini)})
+    assert use_mini
+    assert sos_key == "[SOS]" and eos_key == "[EOS]"
+    assert "[PAD]" in vocab_map
+    assert set(vocab) == {"[SOS]", "[EOS]", "A", "B", "C", "[PAD]"}
+
+    use_mini2, vocab2, *_ = resolve_vocab({"TRN_FOLDER": "data/train-clean-100"})
+    assert not use_mini2 and len(vocab2) == 30
