@@ -78,3 +78,32 @@ def test_dp_grads_match_single_device():
     xb, lxb, yb, lyb = shard((x, lx, y, ly))
     dp = float(jax.jit(loss_fn)(params, xb, lxb, yb, lyb))
     np.testing.assert_allclose(dp, single, rtol=1e-5)
+
+
+def test_sequence_parallel_attention_matches_single_device():
+    """Time-axis-sharded attention == the single-device step (SURVEY §5.7)."""
+    from jax.sharding import Mesh
+    from attention_based_e2e_asr_dnn_tpu.ops.attention import (
+        cross_attention_init, cross_attention_precompute, cross_attention_step)
+    from attention_based_e2e_asr_dnn_tpu.parallel.sequence import (
+        sequence_parallel_attention_step, shard_cache_over_time)
+
+    heads, B, T, enc_dim, dec_dim, proj = 2, 4, 16, 8, 6, 8
+    params = cross_attention_init(jax.random.key(0), enc_dim, dec_dim, proj, heads)
+    enc_h = jax.random.normal(jax.random.key(1), (B, T, enc_dim))
+    enc_l = jnp.array([16, 9, 5, 2])
+    dec_h = jax.random.normal(jax.random.key(2), (B, dec_dim))
+    cache = cross_attention_precompute(params, enc_h, enc_l, heads)
+
+    ctx_ref, wgts_ref, q_ref = cross_attention_step(params, cache, dec_h, heads)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("seq",))
+    sharded = shard_cache_over_time(cache, mesh)
+    ctx_sp, wgts_sp, q_sp = sequence_parallel_attention_step(
+        params, sharded, dec_h, heads, mesh)
+
+    np.testing.assert_allclose(np.asarray(ctx_sp), np.asarray(ctx_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(q_sp), np.asarray(q_ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(wgts_sp), np.asarray(wgts_ref),
+                               atol=1e-5)
