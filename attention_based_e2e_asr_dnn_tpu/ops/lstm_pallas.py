@@ -50,8 +50,13 @@ def _auto_interpret() -> bool:
 
 
 def _lstm_scan_kernel(xp_ref, mask_ref, w_ref, h_out_ref, c_out_ref,
-                      h_scratch, c_scratch, *, hidden_dim: int):
-    """One grid step t: consume x_proj[t], update carry, emit h_t, c_t."""
+                      h_scratch, c_scratch, *, hidden_dim: int, k_block: int):
+    """One grid step: consume x_proj[t*K:(t+1)*K], update carry K times.
+
+    Processing K timesteps per grid step amortizes the pipeline's per-step
+    overhead; the sequential dependency only exists on the recurrent matmul,
+    which runs K times inside.
+    """
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -59,55 +64,69 @@ def _lstm_scan_kernel(xp_ref, mask_ref, w_ref, h_out_ref, c_out_ref,
         h_scratch[:] = jnp.zeros_like(h_scratch)
         c_scratch[:] = jnp.zeros_like(c_scratch)
 
-    # Gate math in fp32: the h/c scratch carries are fp32 for numerical
-    # stability over long sequences, and Mosaic's transcendentals want a
-    # uniform element type (bf16 sigmoid hits a mixed-dtype broadcast bug).
-    h = h_scratch[:]
-    c = c_scratch[:]
-    pre = xp_ref[0].astype(jnp.float32) + jnp.dot(
-        h.astype(w_ref.dtype), w_ref[:], preferred_element_type=jnp.float32
-    )
+    def one_step(k, carry):
+        # Gate math in fp32: fp32 carries for stability over long sequences,
+        # and Mosaic transcendentals want a uniform element type (bf16
+        # sigmoid hits a mixed-dtype broadcast bug).
+        h, c = carry
+        pre = xp_ref[k].astype(jnp.float32) + jnp.dot(
+            h.astype(w_ref.dtype), w_ref[:], preferred_element_type=jnp.float32
+        )
+        i = jax.nn.sigmoid(pre[:, 0 * hidden_dim : 1 * hidden_dim])
+        f = jax.nn.sigmoid(pre[:, 1 * hidden_dim : 2 * hidden_dim])
+        g = jnp.tanh(pre[:, 2 * hidden_dim : 3 * hidden_dim])
+        o = jax.nn.sigmoid(pre[:, 3 * hidden_dim : 4 * hidden_dim])
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
 
-    i = jax.nn.sigmoid(pre[:, 0 * hidden_dim : 1 * hidden_dim])
-    f = jax.nn.sigmoid(pre[:, 1 * hidden_dim : 2 * hidden_dim])
-    g = jnp.tanh(pre[:, 2 * hidden_dim : 3 * hidden_dim])
-    o = jax.nn.sigmoid(pre[:, 3 * hidden_dim : 4 * hidden_dim])
-    c_new = f * c + i * g
-    h_new = o * jnp.tanh(c_new)
+        m = mask_ref[k].astype(jnp.float32)  # (B, 1) 1.0 where valid
+        h_next = m * h_new + (1.0 - m) * h
+        c_next = m * c_new + (1.0 - m) * c
+        h_out_ref[k] = h_next.astype(h_out_ref.dtype)
+        c_out_ref[k] = c_next.astype(c_out_ref.dtype)
+        return h_next, c_next
 
-    m = mask_ref[0].astype(jnp.float32)  # (B, 1) 1.0 where valid
-    h_next = m * h_new + (1.0 - m) * h
-    c_next = m * c_new + (1.0 - m) * c
-    h_scratch[:] = h_next
-    c_scratch[:] = c_next
-    h_out_ref[0] = h_next.astype(h_out_ref.dtype)
-    c_out_ref[0] = c_next.astype(c_out_ref.dtype)
+    h, c = h_scratch[:], c_scratch[:]
+    if k_block == 1:
+        h, c = one_step(0, (h, c))
+    else:
+        # Mosaic supports only full unroll inside kernels (unroll == steps)
+        h, c = jax.lax.fori_loop(0, k_block, one_step, (h, c),
+                                 unroll=k_block)
+    h_scratch[:] = h
+    c_scratch[:] = c
 
 
 def _forward_pallas(x_proj: jnp.ndarray, w_hh: jnp.ndarray, mask: jnp.ndarray,
-                    interpret: bool = False):
+                    interpret: bool = False, k_block: int = 8):
     """x_proj (T, B, 4H), w_hh (H, 4H), mask (T, B) float -> hs, cs (T, B, H).
 
     TPU tiling: B must be a multiple of 8 and 4H a multiple of 128 (callers
     guard and fall back to the lax.scan path otherwise). The mask rides as
-    (T, B, 1) so its block's last-two dims satisfy the (8, 128)-or-equal rule.
+    (T, B, 1) so its block's last-two dims satisfy the (8, 128)-or-equal
+    rule. ``k_block`` timesteps are processed per grid step (the batcher pads
+    T to large multiples, so divisibility holds; otherwise k_block drops
+    to 1).
     """
     seq_len, batch, four_h = x_proj.shape
     hidden_dim = four_h // 4
     dtype = x_proj.dtype
+    if seq_len % k_block != 0:
+        k_block = 1
 
-    kernel = functools.partial(_lstm_scan_kernel, hidden_dim=hidden_dim)
+    kernel = functools.partial(_lstm_scan_kernel, hidden_dim=hidden_dim,
+                               k_block=k_block)
     hs, cs = pl.pallas_call(
         kernel,
-        grid=(seq_len,),
+        grid=(seq_len // k_block,),
         in_specs=[
-            pl.BlockSpec((1, batch, four_h), lambda t: (t, 0, 0)),
-            pl.BlockSpec((1, batch, 1), lambda t: (t, 0, 0)),
+            pl.BlockSpec((k_block, batch, four_h), lambda t: (t, 0, 0)),
+            pl.BlockSpec((k_block, batch, 1), lambda t: (t, 0, 0)),
             pl.BlockSpec((hidden_dim, four_h), lambda t: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, batch, hidden_dim), lambda t: (t, 0, 0)),
-            pl.BlockSpec((1, batch, hidden_dim), lambda t: (t, 0, 0)),
+            pl.BlockSpec((k_block, batch, hidden_dim), lambda t: (t, 0, 0)),
+            pl.BlockSpec((k_block, batch, hidden_dim), lambda t: (t, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((seq_len, batch, hidden_dim), dtype),

@@ -57,7 +57,7 @@ def measure_jax() -> float:
     cfg = las_config_from_dicts(
         dict(input_dim=N_FEATS, uniform_hid_dim=512, lstm_layers=1,
              plstm_layers=3, init_dropout=0.3, mid_dropout=0.3,
-             final_dropout=0.35),
+             final_dropout=0.35, lstm_impl="pallas"),
         dict(att_proj_dim=256, att_heads=1, att_dropout=0.0, dec_emb_dim=512,
              dec_emb_dropout=0.0, dec_lstm_hid_dim=512, dec_lstm_out_dim=256,
              dec_lstm_dropout=0.3, CHR_MAX_STEPS=600),
