@@ -107,3 +107,20 @@ def test_sequence_parallel_attention_matches_single_device():
     np.testing.assert_allclose(np.asarray(q_sp), np.asarray(q_ref), atol=1e-6)
     np.testing.assert_allclose(np.asarray(wgts_sp), np.asarray(wgts_ref),
                                atol=1e-5)
+
+
+def test_multihost_helpers_single_process():
+    from jax.sharding import Mesh
+    from attention_based_e2e_asr_dnn_tpu.parallel.multihost import (
+        global_batch_from_local, process_slice, shard_batch_multihost)
+
+    # single process owns the whole batch
+    sl = process_slice(16)
+    assert (sl.start, sl.stop) == (0, 16)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    x = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+    xd = global_batch_from_local(mesh, x)
+    np.testing.assert_array_equal(np.asarray(xd), x)
+    outs = shard_batch_multihost(mesh, (x, np.arange(16, dtype=np.int32)))
+    assert len(outs) == 2
