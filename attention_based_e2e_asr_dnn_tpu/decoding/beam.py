@@ -55,11 +55,16 @@ def _beam_decode_scan(
     vocab = cfg.dec_vocab_size
     emb = params["char_emb"].astype(dtype)
 
-    # Repeat encodings K times -> (B*K) super-batch, hyp-major within example.
-    enc_h_rep = jnp.repeat(enc_h, K, axis=0)
-    enc_l_rep = jnp.repeat(enc_l, K, axis=0)
-    cache = cross_attention_precompute(params["attention"], enc_h_rep, enc_l_rep,
-                                       cfg.att_heads)
+    # Project K/V ONCE per utterance, then repeat the cache K times to form
+    # the (B*K) super-batch (projecting the repeated encodings would do K x
+    # the key/value matmul FLOPs for identical results).
+    cache1 = cross_attention_precompute(params["attention"], enc_h, enc_l,
+                                        cfg.att_heads)
+    cache = type(cache1)(
+        keys=jnp.repeat(cache1.keys, K, axis=0),
+        values=jnp.repeat(cache1.values, K, axis=0),
+        mask=jnp.repeat(cache1.mask, K, axis=0),
+    )
 
     BK = batch * K
     char = jnp.full((BK,), cfg.CHR_SOS_IDX, jnp.int32)
@@ -164,21 +169,26 @@ def beam_search(
     )
     tokens = np.asarray(tokens)
     parents = np.asarray(parents)
-    fin = np.asarray(fin)
     final_scores = np.asarray(final_scores)
 
     batch = final_scores.shape[0]
     out = np.full((batch, max_steps), cfg.CHR_PAD_IDX, np.int32)
-    # hypothesis length = steps until first finished (for normalization)
-    first_eos = np.where(fin.any(axis=0), fin.argmax(axis=0) + 1, max_steps)  # (B, K)
-    if length_alpha > 0.0:
-        norm = final_scores / (first_eos.astype(np.float64) ** length_alpha)
-    else:
-        norm = final_scores
-    best_k = norm.argmax(axis=1)
     for b in range(batch):
-        seq = backtrace(tokens, parents, beam_size, b, int(best_k[b]))
-        out[b] = np.array(seq, np.int32)
+        # Per-slot finished flags get reshuffled by top-k every step, so the
+        # true hypothesis length must come from the BACKTRACED token chain
+        # of each final slot, not from the per-step `fin` outputs.
+        seqs = [backtrace(tokens, parents, beam_size, b, k)
+                for k in range(beam_size)]
+        if length_alpha > 0.0:
+            lengths = np.array([
+                (seq.index(cfg.CHR_PAD_IDX) + 1) if cfg.CHR_PAD_IDX in seq
+                else max_steps
+                for seq in seqs
+            ], np.float64)
+            norm = final_scores[b] / (lengths ** length_alpha)
+        else:
+            norm = final_scores[b]
+        out[b] = np.array(seqs[int(norm.argmax())], np.int32)
     return out
 
 

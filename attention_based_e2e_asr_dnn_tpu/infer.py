@@ -143,7 +143,10 @@ def main(args):
             template = None
 
     ckpt_dir = os.path.join(exp_folder, "ckpts")
-    ckpts = sorted(f for f in os.listdir(ckpt_dir) if f.endswith(".ckpt"))
+    # only best-tag checkpoints: crash saves (emergency-*) and a previous
+    # run's avg-all.ckpt must not leak into run_all / the uniform average
+    ckpts = sorted(f for f in os.listdir(ckpt_dir)
+                   if f.endswith(".ckpt") and f.startswith("min"))
 
     common = dict(model_cfgs=model_cfgs, infcfgs=infcfgs, batcher=batcher,
                   n_examples=len(ds), tag=tag, template_filepath=template,

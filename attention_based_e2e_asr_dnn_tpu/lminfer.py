@@ -85,7 +85,9 @@ def main(args):
     )
 
     ckpt_dir = os.path.join(exp_folder, "ckpts")
-    ckpts = sorted(f for f in os.listdir(ckpt_dir) if f.endswith(".ckpt"))
+    # best-tag checkpoints only (exclude crash saves and stale avg-all)
+    ckpts = sorted(f for f in os.listdir(ckpt_dir)
+                   if f.endswith(".ckpt") and f.startswith("min"))
     common = dict(model_cfgs=model_cfgs, tstcfgs=tstcfgs, batcher=batcher,
                   n_examples=len(ds), template_filepath=template)
 

@@ -48,14 +48,16 @@ def scale_rewriter_dropouts(cfg: RewriterConfig, scale: float) -> RewriterConfig
     )
 
 
-def make_rewriter_apply_factory(base_cfg: RewriterConfig, unroll: int = 8):
+def make_rewriter_apply_factory(base_cfg: RewriterConfig, unroll: int = 8,
+                                compute_dtype=None):
     def make_apply(dropout_scale: float):
         cfg = scale_rewriter_dropouts(base_cfg, dropout_scale)
 
         def apply_fn(params, rng, x, lx, dec_y=None, tf_rate=1.0,
                      init_force=False, train=False):
             return rewriter_apply(params, cfg, rng, x, lx, dec_y, tf_rate,
-                                  init_force, train, unroll)
+                                  init_force, train, unroll,
+                                  compute_dtype=compute_dtype)
 
         return apply_fn
 
@@ -113,7 +115,8 @@ def main(args):
 
     trainer = Trainer(
         init_fn=lambda rng: rewriter_init(rng, lm_cfg),
-        make_apply=make_rewriter_apply_factory(lm_cfg),
+        make_apply=make_rewriter_apply_factory(lm_cfg,
+                                               compute_dtype=compute_dtype),
         trn_batcher=trn_batcher,
         dev_batcher=dev_batcher,
         trncfgs=trncfgs,

@@ -101,14 +101,22 @@ def rewriter_apply(
     init_force: bool = False,  # accepted for Trainer-surface parity; unused
     train: bool = False,
     unroll: int = 8,
+    compute_dtype=None,
 ) -> SpellerOutput:
-    """(B, T) char ids -> corrected logits (reference: src/lmtrain.py:190-253)."""
+    """(B, T) char ids -> corrected logits (reference: src/lmtrain.py:190-253).
+
+    ``compute_dtype`` applies the bf16 policy here: the inputs are int ids,
+    so (unlike the LAS path) the activation dtype must be set at the
+    embedding lookup.
+    """
     del init_force
     if train:
         rng_enc, rng_dec = jax.random.split(rng)
     else:
         rng_enc = rng_dec = None
     emb = params["decoder"]["char_emb"]
+    if compute_dtype is not None:
+        emb = emb.astype(compute_dtype)
     h = emb[x]  # (B, T, emb_dim)
     enc_h, enc_l = locked_lstm_stack_apply(
         params["encoder"], rng_enc, h, lx,

@@ -71,7 +71,7 @@ class CheckpointManager:
         self.ckpt_dir = ckpt_dir
         self.milestone_dir = milestone_dir
         self.max_savings = max_savings
-        self.saved_epochs: List[int] = []
+        self.saved_files: List[str] = []  # exact basenames, eviction order
         self.min_loss = float("inf")
         self.min_ld = float("inf")
         self.min_ppl = float("inf")
@@ -81,7 +81,7 @@ class CheckpointManager:
 
     def reset_best(self) -> None:
         self.min_loss = self.min_ld = self.min_ppl = float("inf")
-        self.saved_epochs = []
+        self.saved_files = []
 
     def maybe_save(self, epoch: int, dev_loss: float, dev_ld: float,
                    dev_ppl: float, payload: dict) -> Optional[str]:
@@ -101,14 +101,17 @@ class CheckpointManager:
 
         saved = None
         if is_best:
-            if len(self.saved_epochs) >= self.max_savings:
-                evict = self.saved_epochs.pop(0)
-                for f in os.listdir(self.ckpt_dir):
-                    if f.endswith(f"epoch[{evict}].ckpt"):
-                        os.remove(os.path.join(self.ckpt_dir, f))
-            saved = os.path.join(self.ckpt_dir, f"{tag}-epoch[{epoch}].ckpt")
+            if len(self.saved_files) >= self.max_savings:
+                # exact-basename eviction: an endswith match would also hit
+                # emergency-epoch[N].ckpt crash saves
+                evict = self.saved_files.pop(0)
+                evict_path = os.path.join(self.ckpt_dir, evict)
+                if os.path.exists(evict_path):
+                    os.remove(evict_path)
+            name = f"{tag}-epoch[{epoch}].ckpt"
+            saved = os.path.join(self.ckpt_dir, name)
             save_checkpoint(saved, payload)
-            self.saved_epochs.append(epoch)
+            self.saved_files.append(name)
         if is_milestone and self.milestone_dir:
             save_checkpoint(
                 os.path.join(self.milestone_dir, f"epoch[{epoch}].ckpt"), payload

@@ -96,27 +96,6 @@ def build_optimizer(
     return tx
 
 
-def set_learning_rate(opt_state, lr: float, accum_steps: int = 1):
-    """Write a new LR into an inject_hyperparams opt state (host-side)."""
-    import jax.numpy as jnp
-
-    if accum_steps > 1:
-        inner = opt_state.inner_opt_state
-        inner.hyperparams["learning_rate"] = jnp.asarray(
-            lr, dtype=inner.hyperparams["learning_rate"].dtype
-        )
-        return opt_state._replace(inner_opt_state=inner)
-    opt_state.hyperparams["learning_rate"] = jnp.asarray(
-        lr, dtype=opt_state.hyperparams["learning_rate"].dtype
-    )
-    return opt_state
-
-
-def get_learning_rate(opt_state, accum_steps: int = 1) -> float:
-    inner = opt_state.inner_opt_state if accum_steps > 1 else opt_state
-    return float(inner.hyperparams["learning_rate"])
-
-
 # ---------------------------------------------------------------------------
 # Schedulers (host-side state machines)
 # ---------------------------------------------------------------------------

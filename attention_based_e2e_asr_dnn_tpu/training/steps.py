@@ -109,16 +109,28 @@ def make_train_step(
         )(state.params, model_rng, x, lx, y, ly, tf_rate, init_force)
 
         grad_norm = optax.global_norm(grads)
+        ok = jnp.isfinite(grad_norm) if nan_guard else jnp.array(True)
+
+        opt_state = _set_lr(state.opt_state, lr, accum_steps)
         if nan_guard:
-            ok = jnp.isfinite(grad_norm)
+            # A non-finite batch must be a true no-op: zero the applied
+            # update AND keep the previous optimizer state, otherwise Adam's
+            # stale momentum / AdamW's decoupled weight decay still move the
+            # parameters on the "skipped" step.
             grads = jax.tree.map(
                 lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads
             )
+            updates, new_opt_state = tx.update(grads, opt_state, state.params)
+            updates = jax.tree.map(
+                lambda u: jnp.where(ok, u, jnp.zeros_like(u)), updates
+            )
+            opt_state = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old)
+                if hasattr(new, "shape") else new,
+                new_opt_state, opt_state,
+            )
         else:
-            ok = jnp.array(True)
-
-        opt_state = _set_lr(state.opt_state, lr, accum_steps)
-        updates, opt_state = tx.update(grads, opt_state, state.params)
+            updates, opt_state = tx.update(grads, opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 
         metrics = {

@@ -22,8 +22,8 @@ def pay_attention_multihead(att_wgts, epoch: int, root_dir: str = ".") -> str:
 
     att = np.asarray(att_wgts)
     num_heads = att.shape[0]
-    n_rows = int(math.sqrt(num_heads))
-    n_cols = num_heads // n_rows
+    n_rows = max(int(math.sqrt(num_heads)), 1)
+    n_cols = math.ceil(num_heads / n_rows)  # cover ALL heads (5 -> 2x3)
     fig, axes = plt.subplots(n_rows, n_cols, figsize=(10, 10), squeeze=False)
     fig.suptitle(f"Attention Map [Epoch={epoch}]")
     fig.supxlabel("Output Character Count")
@@ -32,6 +32,9 @@ def pay_attention_multihead(att_wgts, epoch: int, root_dir: str = ".") -> str:
         for c in range(n_cols):
             i = r * n_cols + c
             ax = axes[r][c]
+            if i >= num_heads:
+                ax.axis("off")
+                continue
             im = ax.imshow(att[i], aspect="auto", cmap="coolwarm",
                            interpolation="nearest")
             if num_heads > 1:

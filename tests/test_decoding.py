@@ -142,3 +142,21 @@ def test_early_stop_pads_after_eos():
     sp["cls_b"] = sp["cls_b"].at[CFG.speller.CHR_PAD_IDX].set(50.0)
     ids = np.asarray(greedy_decode_early_stop(sp, CFG.speller, enc_h, enc_l))
     assert np.all(ids == CFG.speller.CHR_PAD_IDX)
+
+
+def test_length_alpha_uses_backtraced_lengths():
+    """Length normalization must follow the final slots' true hypothesis
+    lengths (slots get reshuffled by top-k, so per-step finished flags don't
+    belong to the final occupants)."""
+    params, enc_h, enc_l, _, _ = _encodings(B=1)
+    # with alpha=0 and alpha>0 the selected sequence may differ, but both
+    # must be valid backtraced sequences; and with a hard EOS bias all
+    # hypotheses are length-1, so alpha must not change the winner
+    sp = dict(params["speller"])
+    sp["cls_b"] = sp["cls_b"].at[CFG.speller.CHR_PAD_IDX].set(50.0)
+    out_a0 = beam_search(sp, CFG.speller, enc_h, enc_l, beam_size=3,
+                         length_alpha=0.0)
+    out_a1 = beam_search(sp, CFG.speller, enc_h, enc_l, beam_size=3,
+                         length_alpha=1.0)
+    np.testing.assert_array_equal(out_a0, out_a1)
+    assert np.all(out_a0 == CFG.speller.CHR_PAD_IDX)

@@ -213,3 +213,36 @@ def test_cosine_warmup_schedule_shape():
     assert max(lrs) == pytest.approx(1e-3, rel=1e-6)
     assert lrs[-1] >= 0.0  # never negative (fixes reference bug)
     assert lrs[-1] < 1e-4
+
+
+def test_nan_guard_is_noop_with_warm_optimizer_state():
+    """A non-finite step must not move params even AFTER momentum built up
+    (stale Adam moments + AdamW weight decay must not apply)."""
+    rng = np.random.default_rng(0)
+    x, lx, y, ly = _synthetic_batch(rng)
+    params = las_init(jax.random.key(0), TINY)
+    tx = build_optimizer("adamw", {"lr": 1e-3, "weight_decay": 0.1,
+                                   "amsgrad": True})
+    state = create_train_state(params, tx, jax.random.key(1))
+    step = make_train_step(_apply_fn, tx)
+    # build momentum with two good steps
+    for _ in range(2):
+        state, m, _ = step(state, x, lx, y, ly, jnp.asarray(1.0),
+                           jnp.asarray(1e-3))
+    p_before = jax.tree.map(lambda a: np.asarray(a).copy(), state.params)
+    # materialize: the jitted step donates state, deleting the old buffers
+    opt_before = [np.asarray(a).copy() for a in jax.tree.leaves(state.opt_state)
+                  if hasattr(a, "shape")]
+
+    x_bad = x.copy()
+    x_bad[0, 0, 0] = np.inf
+    state, metrics, _ = step(state, x_bad, lx, y, ly, jnp.asarray(1.0),
+                             jnp.asarray(1e-3))
+    assert not bool(metrics["finite"])
+    for a, b in zip(jax.tree.leaves(p_before), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer moments (and counters) also untouched
+    opt_after = [np.asarray(a) for a in jax.tree.leaves(state.opt_state)
+                 if hasattr(a, "shape")]
+    for a, b in zip(opt_before, opt_after):
+        np.testing.assert_array_equal(a, b)
