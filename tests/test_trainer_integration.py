@@ -1,0 +1,161 @@
+"""Trainer-level integration: scheduler wiring, histories, checkpoint policy."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from attention_based_e2e_asr_dnn_tpu.config import Config
+from attention_based_e2e_asr_dnn_tpu.data.batching import BucketBatcher
+from attention_based_e2e_asr_dnn_tpu.models.las import (
+    LASConfig,
+    ListenerConfig,
+    SpellerConfig,
+    las_apply,
+    las_init,
+)
+from attention_based_e2e_asr_dnn_tpu.training.trainer import Trainer
+
+TINY = LASConfig(
+    listener=ListenerConfig(input_dim=15, uniform_hid_dim=8, lstm_layers=1,
+                            plstm_layers=1, init_dropout=0.0, mid_dropout=0.0,
+                            final_dropout=0.0),
+    speller=SpellerConfig(enc_out_dim=16, att_proj_dim=8, att_heads=1,
+                          dec_vocab_size=30, dec_emb_dim=16,
+                          dec_lstm_hid_dim=8, dec_lstm_out_dim=8,
+                          dec_lstm_dropout=0.0, CHR_MAX_STEPS=8),
+)
+
+
+class _Set:
+    def __init__(self, n=8, T=8, L=30):
+        rng = np.random.default_rng(0)
+        self.items = [
+            (rng.normal(size=(T, 15)).astype(np.float32),
+             np.concatenate([[0], rng.integers(1, 27, size=(L - 2,)), [29]]).astype(np.int32))
+            for _ in range(n)
+        ]
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+
+def _trainer(tmp_path, extra=None):
+    cfg = {
+        "seed": 0, "epochs": 2, "batch_size": 4, "accu_grad": 1,
+        "grad_norm": 5.0, "init_force": False, "tf_rate": 1.0,
+        "max_savings": 2, "use_specaug": False,
+        "optimizer": {"name": "adamw", "configs": {"lr": 1e-3}},
+        "batch_scheduler": {"use": False, "configs": {}},
+        "epoch_scheduler": {"use": False},
+        "tf_rate_scheduler": {"use": False, "configs": {}},
+        "dropout_scheduler": {"use": False, "configs": {}},
+        "finetune": {"use": False},
+    }
+    if extra:
+        cfg.update(extra)
+    trncfgs = Config(cfg)
+    ds = _Set()
+    batcher = BucketBatcher(ds, 4, pad_time_multiple=8, pad_label_multiple=8)
+
+    def make_apply(scale):
+        def apply_fn(params, rng, x, lx, dec_y=None, tf_rate=1.0,
+                     init_force=False, train=False):
+            return las_apply(params, TINY, rng, x, lx, dec_y, tf_rate,
+                             init_force, train, unroll=2)
+        return apply_fn
+
+    return Trainer(
+        init_fn=lambda rng: las_init(rng, TINY),
+        make_apply=make_apply,
+        trn_batcher=batcher,
+        dev_batcher=batcher,
+        trncfgs=trncfgs,
+        saving_dir=str(tmp_path),
+        sos_idx=0,
+        eos_idx=29,
+    )
+
+
+def test_trainer_runs_epochs_and_records(tmp_path):
+    tr = _trainer(tmp_path)
+    tr.train_eval(2)
+    assert len(tr.train_history["loss"]) == 2
+    assert len(tr.dev_history["ld"]) == 2
+    assert all(np.isfinite(v) for v in tr.train_history["loss"])
+    # attention map and checkpoint artifacts exist
+    assert os.path.exists(os.path.join(str(tmp_path), "imgs",
+                                       "attention-map-epoch0.png"))
+    ckpts = os.listdir(os.path.join(str(tmp_path), "ckpts"))
+    assert any(c.startswith("min-") for c in ckpts)
+
+
+def test_batch_scheduler_moves_lr(tmp_path):
+    tr = _trainer(tmp_path, {
+        "epochs": 2,
+        "batch_scheduler": {"use": True,
+                            "configs": {"warmup_epochs": 1, "min_lr": 1e-6}},
+    })
+    lr0 = tr.current_lr
+    tr.train_eval(1)
+    assert tr.current_lr != lr0  # warmup moved the LR per update
+    assert tr.batch_scheduler.step_count == len(tr.trn_batcher)
+
+
+def test_plateau_gated_by_ld20(tmp_path):
+    tr = _trainer(tmp_path, {"epoch_scheduler": {"use": True}})
+    # dev LD on an untrained model is >> 20, so the plateau must NOT step
+    tr.train_eval(2)
+    assert tr.current_lr == pytest.approx(1e-3)
+    assert all(ld > 20 for ld in tr.dev_history["ld"])
+
+
+def test_dropout_scheduler_rebuilds_steps(tmp_path):
+    tr = _trainer(tmp_path, {
+        "dropout_scheduler": {"use": True, "configs": {1: 0.5}},
+    })
+    step0 = tr.train_step
+    tr.train_eval(2)
+    assert tr.dropout_scale == pytest.approx(0.5)
+    assert tr.train_step is not step0  # steps rebuilt at the scheduled epoch
+
+
+def test_crash_save_writes_emergency_checkpoint(tmp_path):
+    tr = _trainer(tmp_path)
+
+    calls = {"n": 0}
+    orig = tr.train_step
+
+    def exploding_step(*a, **k):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("boom")
+        return orig(*a, **k)
+
+    tr.train_step = exploding_step
+    with pytest.raises(RuntimeError):
+        tr.train_eval(2)
+    ckpts = os.listdir(os.path.join(str(tmp_path), "ckpts"))
+    assert any(c.startswith("emergency-") for c in ckpts)
+
+
+def test_eviction_never_touches_emergency_checkpoints(tmp_path):
+    from attention_based_e2e_asr_dnn_tpu.training.checkpoints import (
+        CheckpointManager, save_checkpoint)
+
+    ckpt_dir = str(tmp_path / "ckpts")
+    mgr = CheckpointManager(ckpt_dir, max_savings=1)
+    # crash save for epoch 0 sits alongside best saves
+    save_checkpoint(os.path.join(ckpt_dir, "emergency-epoch[0].ckpt"),
+                    {"params": {}})
+    mgr.maybe_save(0, 1.0, 10.0, 2.0, {"params": {}})
+    mgr.maybe_save(1, 0.5, 9.0, 1.5, {"params": {}})  # evicts epoch[0] best
+    files = sorted(os.listdir(ckpt_dir))
+    assert "emergency-epoch[0].ckpt" in files  # crash save survived
+    assert not any(f.startswith("min") and "epoch[0]" in f for f in files)
