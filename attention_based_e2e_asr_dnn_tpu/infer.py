@@ -76,6 +76,9 @@ def infer_one_checkpoint(model_cfgs, infcfgs, checkpoint_filepath, batcher,
         model_cfgs.model.configs["speller_configs"],
     )
     params = jax.tree.map(jnp.asarray, load_checkpoint(checkpoint_filepath)["params"])
+    # decode with the dtype the experiment trained in (snapshotted config):
+    # a bf16-trained run must not silently fall back to the slower fp32 path
+    compute_dtype = jnp.dtype(getattr(model_cfgs, "compute_dtype", "float32"))
 
     def apply_fn(p, rng, x, lx, dec_y=None, tf_rate=1.0, init_force=False,
                  train=False):
@@ -89,15 +92,17 @@ def infer_one_checkpoint(model_cfgs, infcfgs, checkpoint_filepath, batcher,
         beam_step = make_las_beam_step(
             las_cfg, beam_size=beam,
             length_alpha=float(getattr(infcfgs, "length_alpha", 0.0) or 0.0),
+            compute_dtype=compute_dtype,
         )
     elif bool(getattr(infcfgs, "early_stop", True)):
         # all-finished early exit: identical strings, ~3-4x faster than the
         # fixed CHR_MAX_STEPS scan on real utterances
         from attention_based_e2e_asr_dnn_tpu.decoding.greedy import make_las_greedy_step
 
-        beam_step = make_las_greedy_step(las_cfg)
+        beam_step = make_las_greedy_step(las_cfg, compute_dtype=compute_dtype)
     preds = decode_dataset(params, apply_fn, batcher, vocab, sos_idx, eos_idx,
-                           n_examples, beam_step=beam_step)
+                           n_examples, compute_dtype=compute_dtype,
+                           beam_step=beam_step)
 
     out_filepath = checkpoint_filepath.replace(".ckpt", f"-{tag}.csv").replace(
         "ckpts", "preds"
@@ -158,9 +163,14 @@ def main(args):
                 checkpoint_filepath=os.path.join(ckpt_dir, fp), **common)
     elif getattr(infcfgs, "epoch_num", None) is not None:
         match = [f for f in ckpts if f.endswith(f"epoch[{infcfgs.epoch_num}].ckpt")]
-        if match:
-            infer_one_checkpoint(
-                checkpoint_filepath=os.path.join(ckpt_dir, match[0]), **common)
+        if not match:
+            # fail loudly — a silent skip here reads as success with no output
+            raise FileNotFoundError(
+                f"no checkpoint matches epoch[{infcfgs.epoch_num}] in "
+                f"{ckpt_dir}; available: {ckpts}"
+            )
+        infer_one_checkpoint(
+            checkpoint_filepath=os.path.join(ckpt_dir, match[0]), **common)
 
     if getattr(infcfgs, "run_avg", False):
         avg = average_checkpoints([os.path.join(ckpt_dir, f) for f in ckpts])

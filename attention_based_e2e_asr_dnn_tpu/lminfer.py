@@ -97,9 +97,14 @@ def main(args):
                 checkpoint_filepath=os.path.join(ckpt_dir, fp), **common)
     elif getattr(tstcfgs, "epoch_num", None) is not None:
         match = [f for f in ckpts if f.endswith(f"epoch[{tstcfgs.epoch_num}].ckpt")]
-        if match:
-            infer_one_checkpoint(
-                checkpoint_filepath=os.path.join(ckpt_dir, match[0]), **common)
+        if not match:
+            # fail loudly — a silent skip here reads as success with no output
+            raise FileNotFoundError(
+                f"no checkpoint matches epoch[{tstcfgs.epoch_num}] in "
+                f"{ckpt_dir}; available: {ckpts}"
+            )
+        infer_one_checkpoint(
+            checkpoint_filepath=os.path.join(ckpt_dir, match[0]), **common)
 
     if getattr(tstcfgs, "run_avg", False):
         avg = average_checkpoints([os.path.join(ckpt_dir, f) for f in ckpts])

@@ -173,9 +173,20 @@ def main(args):
         logger=logger,
         shard_batch=shard_batch,
     )
-    from attention_based_e2e_asr_dnn_tpu.utils.summary import model_summary
+    from attention_based_e2e_asr_dnn_tpu.utils.summary import (
+        model_summary,
+        shape_flop_summary,
+    )
 
     print(model_summary(trainer.state.params, trncfgs.model.tag))
+    # fail-fast shape + FLOP probe on the first real batch's shapes
+    # (reference ran torchsummaryX on a real batch, src/train.py:600-607)
+    first = next(iter(trn_batcher.epoch(0)))
+    print(shape_flop_summary(
+        trainer.state.params, las_cfg, batch=first.x.shape[0],
+        time_steps=first.x.shape[1], label_len=max(first.y.shape[1] - 1, 1),
+        feat_dim=first.x.shape[2],
+    ))
 
     trainer.train_eval(int(trncfgs.epochs))
     dump_log_json(os.path.join(tgt_folder, "log.json"),

@@ -36,36 +36,64 @@ import optax
 # ---------------------------------------------------------------------------
 
 def _base_optimizer(name: str, learning_rate: float, configs: dict) -> optax.GradientTransformation:
+    """Build the inner optimizer, honoring EVERY config key the reference's
+    ``**configs`` splat would pass to torch (src/train.py:71-77) and raising
+    on keys it cannot honor — a silently-dropped hyperparameter trains with
+    different dynamics than the same YAML under the reference."""
     cfg = dict(configs)
     cfg.pop("lr", None)
     name = name.lower()
+
+    def take(key, default):
+        return cfg.pop(key, default)
+
     if name == "adam":
-        return optax.adam(
-            learning_rate,
-            b1=cfg.get("betas", (0.9, 0.999))[0],
-            b2=cfg.get("betas", (0.9, 0.999))[1],
-            eps=cfg.get("eps", 1e-8),
+        betas = take("betas", (0.9, 0.999))
+        eps = take("eps", 1e-8)
+        wd = take("weight_decay", 0.0)
+        amsgrad = take("amsgrad", False)
+        scale = (optax.scale_by_amsgrad(b1=betas[0], b2=betas[1], eps=eps)
+                 if amsgrad else
+                 optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
+        parts = []
+        if wd:
+            # torch Adam weight_decay is L2-style: wd*p added to the GRADIENT
+            # before the moment updates, hence BEFORE the adam scaling
+            parts.append(optax.add_decayed_weights(wd))
+        parts += [scale, optax.scale_by_learning_rate(learning_rate)]
+        opt = optax.chain(*parts)
+    elif name == "adamw":
+        betas = take("betas", (0.9, 0.999))
+        eps = take("eps", 1e-8)
+        wd = take("weight_decay", 0.0)
+        scale = (optax.scale_by_amsgrad(b1=betas[0], b2=betas[1], eps=eps)
+                 if take("amsgrad", False) else
+                 optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
+        # torch AdamW: DECOUPLED weight decay — applied after the scaling
+        opt = optax.chain(
+            scale,
+            optax.add_decayed_weights(wd),
+            optax.scale_by_learning_rate(learning_rate),
         )
-    if name == "adamw":
-        if cfg.get("amsgrad", False):
-            # torch AdamW(amsgrad=True) == amsgrad + decoupled weight decay
-            return optax.chain(
-                optax.scale_by_amsgrad(eps=cfg.get("eps", 1e-8)),
-                optax.add_decayed_weights(cfg.get("weight_decay", 0.0)),
-                optax.scale_by_learning_rate(learning_rate),
-            )
-        return optax.adamw(
-            learning_rate,
-            weight_decay=cfg.get("weight_decay", 0.0),
-            eps=cfg.get("eps", 1e-8),
+    elif name == "sgd":
+        momentum = take("momentum", 0.0)
+        nesterov = take("nesterov", False)
+        wd = take("weight_decay", 0.0)
+        parts = []
+        if wd:
+            parts.append(optax.add_decayed_weights(wd))  # torch SGD: L2 into grads
+        parts.append(optax.sgd(learning_rate, momentum=momentum or None,
+                               nesterov=nesterov))
+        opt = optax.chain(*parts)
+    else:
+        raise ValueError(f"unknown optimizer {name!r} (expected adam/adamw/sgd)")
+
+    if cfg:
+        raise ValueError(
+            f"optimizer {name!r} got unsupported config keys {sorted(cfg)} — "
+            f"refusing to silently drop hyperparameters"
         )
-    if name == "sgd":
-        return optax.sgd(
-            learning_rate,
-            momentum=cfg.get("momentum", 0.0),
-            nesterov=cfg.get("nesterov", False),
-        )
-    raise ValueError(f"unknown optimizer {name!r} (expected adam/adamw/sgd)")
+    return opt
 
 
 def build_optimizer(

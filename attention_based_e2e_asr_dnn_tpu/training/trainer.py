@@ -93,8 +93,12 @@ class Trainer:
         # schedulers (src/train.py:79-101, 448-474)
         self.batch_scheduler = None
         if getattr(trncfgs, "batch_scheduler", None) and trncfgs.batch_scheduler.use:
+            # PARITY DEVIATION: the reference sizes the table with raw batch
+            # count but steps it once per accu_grad batches (src/train.py:
+            # 79-82, 185-188) so with accumulation the schedule never finishes.
+            # We size by UPDATE count so warmup+anneal complete as configured.
             self.batch_scheduler = CosineWarmupSchedule(
-                num_batches=len(trn_batcher),
+                num_batches=max(1, len(trn_batcher) // self.accu_grad),
                 init_lr=self.base_lr,
                 max_epochs=int(getattr(trncfgs, "epochs", 10)),
                 **{k: v for k, v in trncfgs.batch_scheduler.configs.items()
@@ -193,9 +197,16 @@ class Trainer:
         return iterable
 
     def train_epoch(self):
-        total_loss = total_ppl = 0.0
+        # Metrics stay ON DEVICE during the epoch: a per-batch float() would
+        # force a host round-trip per step and stall the dispatch pipeline
+        # (the reference's tqdm postfix did exactly that). We fold the device
+        # scalars and sync only every `metric_sync_every` batches — the sync
+        # doubles as backpressure so queued H2D inputs stay bounded.
+        loss_parts: list = []
+        ppl_parts: list = []
         n_batches = 0
         att_map = None
+        sync_every = int(getattr(self.trncfgs, "metric_sync_every", 16))
         init_force = self.init_force_cfg and self.epoch < 10  # src/train.py:113
         profile_cfg = getattr(self.trncfgs, "profile", None)
         do_profile = (profile_cfg is not None and profile_cfg.use
@@ -215,10 +226,14 @@ class Trainer:
                 jnp.asarray(self.current_lr, jnp.float32),
                 init_force=init_force,
             )
-            total_loss += float(metrics["loss"])
-            total_ppl += float(metrics["ppl"])
+            loss_parts.append(metrics["loss"])
+            ppl_parts.append(metrics["ppl"])
             n_batches += 1
             self.batch += 1
+            if n_batches % sync_every == 0:
+                loss_parts = [jnp.sum(jnp.stack(loss_parts))]
+                ppl_parts = [jnp.sum(jnp.stack(ppl_parts))]
+                float(loss_parts[0])  # bounded in-flight work
             # per-update LR schedule on accumulation boundaries (src/train.py:185-188)
             if self.batch_scheduler and self.batch % self.accu_grad == 0:
                 self.current_lr = self.batch_scheduler.step()
@@ -235,6 +250,8 @@ class Trainer:
             import jax.profiler
 
             jax.profiler.stop_trace()
+        total_loss = float(jnp.sum(jnp.stack(loss_parts))) if loss_parts else 0.0
+        total_ppl = float(jnp.sum(jnp.stack(ppl_parts))) if ppl_parts else 0.0
         return total_loss / max(n_batches, 1), total_ppl / max(n_batches, 1), att_map
 
     def evaluate_epoch(self):
@@ -340,6 +357,18 @@ class Trainer:
             "tf_rate": self.tf_rate,
             "current_lr": self.current_lr,
             "dropout_scale": self.dropout_scale,
+            # scheduler state machines — without these, resume resets plateau
+            # patience, the TF scheduler's last_turn, and the cosine step
+            # counter, so an interrupted run would not reproduce the
+            # uninterrupted LR/tf trajectory (SURVEY §7 hard part (d))
+            "schedulers": {
+                "batch": self.batch_scheduler.state_dict()
+                if self.batch_scheduler else None,
+                "epoch": self.epoch_scheduler.state_dict()
+                if self.epoch_scheduler else None,
+                "tf": self.tf_scheduler.state_dict()
+                if self.tf_scheduler else None,
+            },
         }
 
     def save(self, path: str) -> str:
@@ -377,4 +406,11 @@ class Trainer:
         if loaded.get("dropout_scale", 1.0) != self.dropout_scale:
             self.dropout_scale = loaded["dropout_scale"]
             self._build_steps()
+        sched = loaded.get("schedulers") or {}
+        if self.batch_scheduler and sched.get("batch"):
+            self.batch_scheduler.load_state_dict(sched["batch"])
+        if self.epoch_scheduler and sched.get("epoch"):
+            self.epoch_scheduler.load_state_dict(sched["epoch"])
+        if self.tf_scheduler and sched.get("tf"):
+            self.tf_scheduler.load_state_dict(sched["tf"])
         self.logger.print(f"resumed from [{path}] at epoch[{self.epoch}]")

@@ -91,14 +91,24 @@ def measure_jax() -> float:
     float(metrics["loss"])  # full sync (block_until_ready under-waits on
     # this TPU relay; a host transfer is the honest barrier)
 
-    times = []
+    # pipelined timing — back-to-back dispatch with one host sync at the end,
+    # exactly how the trainer's epoch loop now runs (device-side metric
+    # accumulation, sync every N batches). Steps are chained through `state`,
+    # so the elapsed time is real sequential compute.
+    t0 = time.perf_counter()
     for _ in range(MEASURE_STEPS):
-        t0 = time.perf_counter()
         state, metrics, _ = step(state, x, lx, y, ly, tf, lr)
-        float(metrics["loss"])
-        times.append(time.perf_counter() - t0)
-    median = sorted(times)[len(times) // 2]
-    return BATCH / median
+    float(metrics["loss"])
+    elapsed = time.perf_counter() - t0
+    step_seconds = elapsed / MEASURE_STEPS
+
+    from attention_based_e2e_asr_dnn_tpu.utils.flops import (
+        las_train_step_flops,
+        mfu,
+    )
+
+    flops = las_train_step_flops(cfg, BATCH, TIME_STEPS, LABEL_LEN)
+    return BATCH / step_seconds, mfu(flops, step_seconds), flops
 
 
 def measure_torch_baseline() -> float:
@@ -197,7 +207,7 @@ def measure_torch_baseline() -> float:
 
 
 def main():
-    jax_tput = measure_jax()
+    jax_tput, mfu_val, flops = measure_jax()
     try:
         torch_tput = measure_torch_baseline()
     except Exception:
@@ -207,6 +217,8 @@ def main():
         "value": round(jax_tput, 3),
         "unit": "utt/s",
         "vs_baseline": round(jax_tput / torch_tput, 3) if torch_tput else None,
+        "mfu": round(mfu_val, 4) if mfu_val is not None else None,
+        "flops_per_step": flops,
     }
     print(json.dumps(result))
 

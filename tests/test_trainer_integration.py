@@ -145,6 +145,51 @@ def test_crash_save_writes_emergency_checkpoint(tmp_path):
     assert any(c.startswith("emergency-") for c in ckpts)
 
 
+def test_resume_restores_scheduler_state_machines(tmp_path):
+    """Checkpoint payloads carry the scheduler state machines, so resume
+    reproduces the uninterrupted LR trajectory (SURVEY §7 hard part (d);
+    reference semantics at src/train.py:372-391, 448-474)."""
+    sched_cfg = {
+        "epochs": 4,
+        "batch_scheduler": {"use": True,
+                            "configs": {"warmup_epochs": 1, "min_lr": 1e-6}},
+        "epoch_scheduler": {"use": True},
+        "tf_rate_scheduler": {"use": True,
+                              "configs": {"factor": 0.1, "interval": 0,
+                                          "lowest": 0.6}},
+    }
+    # uninterrupted run: 4 epochs straight
+    tr_a = _trainer(tmp_path / "a", dict(sched_cfg))
+    # mutate the LD-gated machines as if mid-run (untrained LD > 20 never
+    # engages them, so set their state directly to a non-trivial point)
+    tr_a.epoch_scheduler.best, tr_a.epoch_scheduler.num_bad = 5.0, 2
+    tr_a.tf_scheduler.last_turn = (1, 6.5)
+    tr_a.train_eval(4)
+
+    # interrupted run: 2 epochs, save, resume into a fresh Trainer, 2 more
+    tr_b = _trainer(tmp_path / "b", dict(sched_cfg))
+    tr_b.epoch_scheduler.best, tr_b.epoch_scheduler.num_bad = 5.0, 2
+    tr_b.tf_scheduler.last_turn = (1, 6.5)
+    tr_b.train_eval(2)
+    ckpt = str(tmp_path / "b" / "mid.ckpt")
+    tr_b.save(ckpt)
+
+    tr_c = _trainer(tmp_path / "c", dict(sched_cfg))
+    tr_c.load(ckpt)
+    # all three machines restored exactly
+    assert tr_c.batch_scheduler.state_dict() == tr_b.batch_scheduler.state_dict()
+    assert tr_c.epoch_scheduler.state_dict() == tr_b.epoch_scheduler.state_dict()
+    assert tr_c.tf_scheduler.state_dict() == tr_b.tf_scheduler.state_dict()
+
+    tr_c.train_eval(4)
+    # the resumed run finishes at the same point of the cosine table and the
+    # same LR as the uninterrupted run (without restore, the cosine restarts
+    # at warmup step 0 and the final LR diverges)
+    assert tr_c.batch_scheduler.step_count == tr_a.batch_scheduler.step_count
+    assert tr_c.current_lr == pytest.approx(tr_a.current_lr, rel=1e-12)
+    assert tr_c.tf_rate == pytest.approx(tr_a.tf_rate)
+
+
 def test_eviction_never_touches_emergency_checkpoints(tmp_path):
     from attention_based_e2e_asr_dnn_tpu.training.checkpoints import (
         CheckpointManager, save_checkpoint)
