@@ -36,6 +36,65 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
     return Mesh(np.array(devices), (axis_name,))
 
 
+def make_mesh_2d(
+    data: Optional[int] = None,
+    model: int = 1,
+    axis_names: Tuple[str, str] = ("data", "model"),
+) -> Mesh:
+    """2-D ``(data, model)`` mesh: batch sharding on 'data', tensor (model)
+    parallelism of the LSTM gate matrices on 'model'.
+
+    ``data=None`` uses all devices divided by ``model``. Lay the model axis
+    innermost so its collectives ride the fastest ICI links.
+    """
+    devices = jax.devices()
+    if model < 1:
+        raise ValueError(f"model parallelism must be >= 1, got {model}")
+    if data is None:
+        if len(devices) % model != 0:
+            raise ValueError(
+                f"{len(devices)} devices not divisible by model={model}"
+            )
+        data = len(devices) // model
+    need = data * model
+    if need > len(devices):
+        raise ValueError(
+            f"requested data={data} x model={model} = {need} devices but only "
+            f"{len(devices)} present"
+        )
+    grid = np.array(devices[:need]).reshape(data, model)
+    return Mesh(grid, axis_names)
+
+
+def model_parallel_placement(mesh: Mesh, model_axis: str = "model"):
+    """Returns place(path, leaf) assigning LSTM gate matrices (w_ih / w_hh)
+    column-parallel on ``model_axis`` (output dim = 4*hid split across the
+    axis; XLA inserts the collectives implied by the annotations) and
+    replicating everything else. Works on params AND optimizer-state pytrees
+    (adam moments mirror the param tree's key names)."""
+    model_par = mesh.shape[model_axis]
+    replicated = NamedSharding(mesh, P())
+    col_sharded = NamedSharding(mesh, P(None, model_axis))
+
+    def place(path, leaf):
+        if not hasattr(leaf, "shape"):
+            return leaf
+        keys = jax.tree_util.keystr(path)
+        if ("'w_ih'" in keys or "'w_hh'" in keys) and leaf.ndim == 2 \
+                and leaf.shape[1] % model_par == 0:
+            return jax.device_put(leaf, col_sharded)
+        return jax.device_put(leaf, replicated)
+
+    return place
+
+
+def shard_train_state(state, mesh: Mesh, model_axis: str = "model"):
+    """Place a TrainState on a 2-D mesh: gate matrices (and their optimizer
+    moments) column-parallel on ``model_axis``, the rest replicated."""
+    place = model_parallel_placement(mesh, model_axis)
+    return jax.tree_util.tree_map_with_path(place, state)
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Shard axis 0 (the batch) across the mesh."""
     return NamedSharding(mesh, P(axis_name))
@@ -49,13 +108,15 @@ def shard_batch_fn(mesh: Mesh, axis_name: str = "data"):
     """Returns f(tuple_of_host_arrays) -> tuple of device arrays sharded on
     axis 0. Batch size must be divisible by the mesh size."""
     sharding = batch_sharding(mesh, axis_name)
+    data_par = mesh.shape[axis_name]
 
     def shard(batch: Sequence[np.ndarray]) -> Tuple[jax.Array, ...]:
         out = []
         for arr in batch:
-            if arr.shape[0] % mesh.size != 0:
+            if arr.shape[0] % data_par != 0:
                 raise ValueError(
-                    f"batch dim {arr.shape[0]} not divisible by mesh size {mesh.size}"
+                    f"batch dim {arr.shape[0]} not divisible by data-parallel "
+                    f"degree {data_par}"
                 )
             out.append(jax.device_put(arr, sharding))
         return tuple(out)

@@ -34,7 +34,12 @@ from attention_based_e2e_asr_dnn_tpu.models.las import (
     las_config_from_dicts,
     las_init,
 )
-from attention_based_e2e_asr_dnn_tpu.parallel.mesh import make_mesh, shard_batch_fn
+from attention_based_e2e_asr_dnn_tpu.parallel.mesh import (
+    make_mesh,
+    make_mesh_2d,
+    shard_batch_fn,
+    shard_train_state,
+)
 from attention_based_e2e_asr_dnn_tpu.training.trainer import Trainer
 from attention_based_e2e_asr_dnn_tpu.utils.logging import (
     MetricLogger,
@@ -151,13 +156,23 @@ def main(args):
     init_fn = lambda rng: las_init(rng, las_cfg, param_dtype)
     make_apply = make_las_apply_factory(las_cfg, unroll=int(getattr(trncfgs, "scan_unroll", 8)))
 
-    # optional data parallelism over a device mesh (new capability, SURVEY §5.8)
+    # optional data / 2-D (data x model) parallelism over a device mesh
+    # (new capability, SURVEY §5.8; the reference is single-device)
     shard_batch = None
+    shard_state = None
     par = getattr(trncfgs, "parallel", None)
     if par is not None and par.use:
-        mesh = make_mesh(getattr(par, "n_devices", None))
+        model_par = int(getattr(par, "model", 1) or 1)
+        if model_par > 1:
+            mesh = make_mesh_2d(getattr(par, "data", None), model_par)
+            shard_state = lambda s: shard_train_state(s, mesh)
+            print(f"[parallel] 2-D mesh: data={mesh.shape['data']} x "
+                  f"model={mesh.shape['model']}")
+        else:
+            mesh = make_mesh(getattr(par, "data", None)
+                             or getattr(par, "n_devices", None))
+            print(f"[parallel] data-parallel mesh over {mesh.size} devices")
         shard_batch = shard_batch_fn(mesh)
-        print(f"[parallel] data-parallel mesh over {mesh.size} devices")
 
     trainer = Trainer(
         init_fn=init_fn,
@@ -172,6 +187,7 @@ def main(args):
         compute_dtype=compute_dtype,
         logger=logger,
         shard_batch=shard_batch,
+        shard_state=shard_state,
     )
     from attention_based_e2e_asr_dnn_tpu.utils.summary import (
         model_summary,

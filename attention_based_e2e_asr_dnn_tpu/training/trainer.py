@@ -64,6 +64,7 @@ class Trainer:
         compute_dtype=jnp.float32,
         logger: Optional[MetricLogger] = None,
         shard_batch: Optional[Callable] = None,
+        shard_state: Optional[Callable] = None,
     ):
         self.trncfgs = trncfgs
         self.trn_batcher = trn_batcher
@@ -75,6 +76,10 @@ class Trainer:
         self.logger = logger or MetricLogger()
         self.make_apply = make_apply
         self.shard_batch = shard_batch or (lambda b: b)
+        # optional mesh placement of the TrainState (2-D dp x tp: LSTM gate
+        # matrices column-parallel on 'model', rest replicated) — XLA derives
+        # the collectives from these annotations inside the same jitted step
+        self.shard_state = shard_state or (lambda s: s)
 
         self.accu_grad = int(getattr(trncfgs, "accu_grad", 1))
         self.grad_norm = float(getattr(trncfgs, "grad_norm", 5.0))
@@ -121,7 +126,7 @@ class Trainer:
         rng = jax.random.key(int(getattr(trncfgs, "seed", 0)))
         rng, init_rng = jax.random.split(rng)
         params = init_fn(init_rng)
-        self.state = create_train_state(params, self.tx, rng)
+        self.state = self.shard_state(create_train_state(params, self.tx, rng))
         self.epoch = 0
         self.batch = 0
         self.train_history = {"loss": [], "ppl": []}
@@ -388,10 +393,10 @@ class Trainer:
                 lambda ref, new: jnp.asarray(new), self.state.opt_state,
                 loaded["opt_state"],
             )
-        self.state = TrainState(
+        self.state = self.shard_state(TrainState(
             params=params, opt_state=opt_state, rng=self.state.rng,
             step=self.state.step,
-        )
+        ))
         self.epoch = loaded["epoch"]
         self.batch = loaded["batch"]
         self.train_history["loss"] = list(loaded.get("train_loss", []))

@@ -46,7 +46,7 @@ class _Set:
         return self.items[i]
 
 
-def _trainer(tmp_path, extra=None):
+def _trainer(tmp_path, extra=None, shard_batch=None, shard_state=None):
     cfg = {
         "seed": 0, "epochs": 2, "batch_size": 4, "accu_grad": 1,
         "grad_norm": 5.0, "init_force": False, "tf_rate": 1.0,
@@ -80,6 +80,8 @@ def _trainer(tmp_path, extra=None):
         saving_dir=str(tmp_path),
         sos_idx=0,
         eos_idx=29,
+        shard_batch=shard_batch,
+        shard_state=shard_state,
     )
 
 
