@@ -115,8 +115,10 @@ class BucketBatcher:
         while len(take) < self.batch_size:  # repeat-pad the final batch
             take.append(take[-1])
 
-        if not self.has_labels and hasattr(self.dataset, "assemble"):
-            # lazy path: the native C++ thread pool reads + pads in one pass
+        if hasattr(self.dataset, "assemble"):
+            # lazy path: the native C++ thread pool reads + pads features in
+            # one pass; labels (if any) come from the dataset's in-RAM
+            # transcripts via label(i) — no per-item feature loads
             t_pad = pad_to_multiple(
                 int(self._lengths[take].max()), self.pad_time_multiple
             )
@@ -124,7 +126,11 @@ class BucketBatcher:
             indices = np.array(
                 list(idx) + [-1] * (self.batch_size - n_real), dtype=np.int64
             )
-            return Batch(x=x, lx=lx, indices=indices)
+            if not self.has_labels:
+                return Batch(x=x, lx=lx, indices=indices)
+            ys = [self.dataset.label(i) for i in take]
+            y, ly = self._pad_labels(ys)
+            return Batch(x=x, lx=lx, y=y, ly=ly, indices=indices)
 
         items = [self.dataset[i] for i in take]
         if self.has_labels:
@@ -152,12 +158,16 @@ class BucketBatcher:
         if ys is None:
             return Batch(x=x, lx=lx, indices=indices)
 
+        y, ly = self._pad_labels(ys)
+        return Batch(x=x, lx=lx, y=y, ly=ly, indices=indices)
+
+    def _pad_labels(self, ys):
         ly = np.array([len(y) for y in ys], dtype=np.int32)
         l_pad = pad_to_multiple(int(ly.max()), self.pad_label_multiple)
         y = np.full((self.batch_size, l_pad), self.label_pad_id, dtype=np.int32)
         for b, ey in enumerate(ys):
             y[b, : len(ey)] = ey
-        return Batch(x=x, lx=lx, y=y, ly=ly, indices=indices)
+        return y, ly
 
     def epoch(self, epoch: int = 0) -> Iterator[Batch]:
         for idx in self._batch_plan(epoch):

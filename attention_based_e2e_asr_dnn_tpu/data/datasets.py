@@ -152,8 +152,15 @@ class LmTrainDevDataset:
     def __init__(self, trans_dir: str, pred_path: str, label_to_idx: Dict[str, int]):
         sos = label_to_idx["<sos>"]
         eos = label_to_idx["<eos>"]
-        with open(pred_path, "r") as fh:
-            lines = [l.rstrip("\n") for l in fh]
+        if pred_path.endswith(".csv"):
+            # submission-style CSV from infer.py (id,label in template order,
+            # which matches the sorted transcript order)
+            import pandas as pd
+
+            lines = [str(p) for p in pd.read_csv(pred_path)["label"].tolist()]
+        else:
+            with open(pred_path, "r") as fh:
+                lines = [l.rstrip("\n") for l in fh]
         self.predictions = [_wrap_ids(l, label_to_idx, sos, eos) for l in lines]
         self.transcripts = [
             np.array([label_to_idx[str(c)] for c in np.load(f)], dtype=np.int32)

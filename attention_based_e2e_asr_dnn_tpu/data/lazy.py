@@ -82,3 +82,59 @@ class LazyAsrTestDataset(LazyFeatureSource):
         if max_utterances:
             paths = paths[:max_utterances]
         super().__init__(paths, n_feats)
+
+
+class LazyAsrTrainDevDataset(LazyFeatureSource):
+    """Disk-backed train/dev dataset: features stay on disk (assembled per
+    batch by the native thread pool), transcripts — tiny int arrays — load
+    eagerly so label batching and length stats need no feature reads.
+
+    Capability upgrade over the reference, which loads EVERY feature into RAM
+    at construction (src/utils.py:69-76); same (feature, transcript) item
+    contract as ``AsrTrainDevDataset``, plus the ``assemble``/``label``
+    protocol the BucketBatcher uses to skip per-item feature loads.
+    """
+
+    def __init__(
+        self,
+        std_dir: str,
+        label_to_idx: dict,
+        keep_tags: bool = True,
+        n_feats: int = 15,
+        max_utterances: Optional[int] = None,
+    ):
+        mfcc_dir = os.path.join(std_dir, "mfcc")
+        trans_dir = os.path.join(std_dir, "transcript", "raw")
+        paths = sorted(
+            os.path.join(mfcc_dir, f)
+            for f in os.listdir(mfcc_dir)
+            if f.endswith(".npy")
+        )
+        trans_paths = sorted(
+            os.path.join(trans_dir, f)
+            for f in os.listdir(trans_dir)
+            if f.endswith(".npy")
+        )
+        if max_utterances:
+            paths = paths[:max_utterances]
+            trans_paths = trans_paths[:max_utterances]
+        super().__init__(paths, n_feats)
+        self.transcripts = []
+        for f in trans_paths:
+            raw = np.load(f)
+            if not keep_tags:
+                raw = raw[1:-1]
+            self.transcripts.append(
+                np.array([label_to_idx[str(c)] for c in raw], dtype=np.int32)
+            )
+        if len(self.transcripts) != len(self.paths):
+            raise ValueError(
+                f"{len(self.paths)} features vs {len(self.transcripts)} transcripts"
+            )
+
+    def __getitem__(self, index: int):
+        return super().__getitem__(index), self.transcripts[index]
+
+    def label(self, index: int) -> np.ndarray:
+        """Transcript WITHOUT touching the feature file."""
+        return self.transcripts[index]

@@ -89,7 +89,7 @@ def _beam_decode_scan(
             xk, parent.reshape(batch, K, *([1] * (x.ndim - 1))), axis=1
         ).reshape(BK, *x.shape[1:])
 
-    def step(carry, _):
+    def step(carry):
         char, h1, c1, h2, c2, context, scores, finished = carry
 
         char_e = emb[char]
@@ -129,10 +129,35 @@ def _beam_decode_scan(
                  finished_new)
         return carry, (token, parent, finished_new)
 
-    carry0 = (char, h1, c1, h2, c2, context, scores, finished)
-    (_, _, _, _, _, _, final_scores, final_finished), (tokens, parents, fin) = (
-        jax.lax.scan(step, carry0, None, length=max_steps)
+    # all-finished early exit (same pattern as decoding/greedy.py): typical
+    # utterances finish in ~150 chars, so a while_loop beats the fixed
+    # CHR_MAX_STEPS scan 3-4x. Unwritten steps keep PAD tokens and IDENTITY
+    # parents, so the backtrace walks through them unchanged — identical
+    # strings and scores to the full-length scan.
+    tokens0 = jnp.full((max_steps, batch, K), cfg.CHR_PAD_IDX, jnp.int32)
+    parents0 = jnp.broadcast_to(
+        jnp.arange(K, dtype=jnp.int32), (max_steps, batch, K)
     )
+    fin0 = jnp.ones((max_steps, batch, K), bool)
+
+    def cond(state):
+        t, carry, _, _, _ = state
+        finished = carry[-1]
+        return jnp.logical_and(t < max_steps, ~jnp.all(finished))
+
+    def body(state):
+        t, carry, tokens, parents, fin = state
+        carry, (token, parent, finished_new) = step(carry)
+        tokens = jax.lax.dynamic_update_slice(tokens, token[None], (t, 0, 0))
+        parents = jax.lax.dynamic_update_slice(parents, parent[None], (t, 0, 0))
+        fin = jax.lax.dynamic_update_slice(fin, finished_new[None], (t, 0, 0))
+        return (t + 1, carry, tokens, parents, fin)
+
+    carry0 = (char, h1, c1, h2, c2, context, scores, finished)
+    _, final_carry, tokens, parents, fin = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), carry0, tokens0, parents0, fin0)
+    )
+    final_scores, final_finished = final_carry[-2], final_carry[-1]
     return tokens, parents, fin, final_scores, final_finished
 
 
@@ -146,6 +171,21 @@ def backtrace(tokens: np.ndarray, parents: np.ndarray, beam: int, b: int,
         seq.append(int(tokens[t, b, cur]))
         cur = int(parents[t, b, cur])
     return seq[::-1]
+
+
+def backtrace_all(tokens: np.ndarray, parents: np.ndarray) -> np.ndarray:
+    """Vectorized backpointer walk for EVERY (batch, beam) chain at once.
+
+    (steps, B, K) tokens/parents -> (steps, B, K) resolved sequences in
+    ``steps`` numpy ops total (the per-chain Python walk was B*K*steps
+    iterations — painful at B=128 x K=8 x 600)."""
+    steps, batch, K = tokens.shape
+    seq = np.empty((steps, batch, K), np.int32)
+    cur = np.broadcast_to(np.arange(K, dtype=np.int64), (batch, K)).copy()
+    for t in range(steps - 1, -1, -1):
+        seq[t] = np.take_along_axis(tokens[t], cur, axis=1)
+        cur = np.take_along_axis(parents[t].astype(np.int64), cur, axis=1)
+    return seq
 
 
 def beam_search(
@@ -172,24 +212,20 @@ def beam_search(
     final_scores = np.asarray(final_scores)
 
     batch = final_scores.shape[0]
-    out = np.full((batch, max_steps), cfg.CHR_PAD_IDX, np.int32)
-    for b in range(batch):
-        # Per-slot finished flags get reshuffled by top-k every step, so the
-        # true hypothesis length must come from the BACKTRACED token chain
-        # of each final slot, not from the per-step `fin` outputs.
-        seqs = [backtrace(tokens, parents, beam_size, b, k)
-                for k in range(beam_size)]
-        if length_alpha > 0.0:
-            lengths = np.array([
-                (seq.index(cfg.CHR_PAD_IDX) + 1) if cfg.CHR_PAD_IDX in seq
-                else max_steps
-                for seq in seqs
-            ], np.float64)
-            norm = final_scores[b] / (lengths ** length_alpha)
-        else:
-            norm = final_scores[b]
-        out[b] = np.array(seqs[int(norm.argmax())], np.int32)
-    return out
+    # Per-slot finished flags get reshuffled by top-k every step, so the true
+    # hypothesis length must come from the BACKTRACED token chain of each
+    # final slot, not from the per-step `fin` outputs.
+    seqs = backtrace_all(tokens, parents)           # (steps, B, K)
+    if length_alpha > 0.0:
+        is_pad = seqs == cfg.CHR_PAD_IDX            # (steps, B, K)
+        any_pad = is_pad.any(axis=0)
+        lengths = np.where(any_pad, is_pad.argmax(axis=0) + 1,
+                           max_steps).astype(np.float64)
+        norm = final_scores / (lengths ** length_alpha)
+    else:
+        norm = final_scores
+    best = norm.argmax(axis=1)                      # (B,)
+    return seqs[:, np.arange(batch), best].T.astype(np.int32)  # (B, steps)
 
 
 def make_las_beam_step(las_cfg, beam_size: int, length_alpha: float = 0.0,

@@ -142,6 +142,219 @@ def _forward_pallas(x_proj: jnp.ndarray, w_hh: jnp.ndarray, mask: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Training forward: also emit activated gates (feeds the Pallas backward)
+# ---------------------------------------------------------------------------
+
+def _lstm_scan_train_kernel(xp_ref, mask_ref, w_ref, h_out_ref, c_out_ref,
+                            g_out_ref, h_scratch, c_scratch, *,
+                            hidden_dim: int, k_block: int):
+    """Forward recurrence that ALSO streams out the activated gates
+    (i, f, g, o) so the backward kernel needs no recompute matmul."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        h_scratch[:] = jnp.zeros_like(h_scratch)
+        c_scratch[:] = jnp.zeros_like(c_scratch)
+
+    def one_step(k, carry):
+        h, c = carry
+        pre = xp_ref[k].astype(jnp.float32) + jnp.dot(
+            h.astype(w_ref.dtype), w_ref[:], preferred_element_type=jnp.float32
+        )
+        i = jax.nn.sigmoid(pre[:, 0 * hidden_dim : 1 * hidden_dim])
+        f = jax.nn.sigmoid(pre[:, 1 * hidden_dim : 2 * hidden_dim])
+        g = jnp.tanh(pre[:, 2 * hidden_dim : 3 * hidden_dim])
+        o = jax.nn.sigmoid(pre[:, 3 * hidden_dim : 4 * hidden_dim])
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+
+        m = mask_ref[k].astype(jnp.float32)
+        h_next = m * h_new + (1.0 - m) * h
+        c_next = m * c_new + (1.0 - m) * c
+        h_out_ref[k] = h_next.astype(h_out_ref.dtype)
+        c_out_ref[k] = c_next.astype(c_out_ref.dtype)
+        gd = g_out_ref.dtype
+        g_out_ref[k, :, 0 * hidden_dim : 1 * hidden_dim] = i.astype(gd)
+        g_out_ref[k, :, 1 * hidden_dim : 2 * hidden_dim] = f.astype(gd)
+        g_out_ref[k, :, 2 * hidden_dim : 3 * hidden_dim] = g.astype(gd)
+        g_out_ref[k, :, 3 * hidden_dim : 4 * hidden_dim] = o.astype(gd)
+        return h_next, c_next
+
+    h, c = h_scratch[:], c_scratch[:]
+    if k_block == 1:
+        h, c = one_step(0, (h, c))
+    else:
+        h, c = jax.lax.fori_loop(0, k_block, one_step, (h, c),
+                                 unroll=k_block)
+    h_scratch[:] = h
+    c_scratch[:] = c
+
+
+def _pick_k_block(seq_len: int, stream_cols: int, batch: int, itemsize: int,
+                  fixed_bytes: int, budget: int = 13 * 1024 * 1024) -> int:
+    """Largest K in {8,4,2,1} fitting VMEM: streamed (double-buffered) blocks
+    of ``stream_cols`` columns x batch rows per timestep plus fixed buffers."""
+    for k in (8, 4, 2, 1):
+        if seq_len % k:
+            continue
+        if fixed_bytes + 2 * k * batch * stream_cols * itemsize <= budget:
+            return k
+    return 1
+
+
+def _forward_pallas_train(x_proj, w_hh, mask, interpret: bool = False):
+    """Training forward: returns (hs, cs, gates) — gates (T, B, 4H)."""
+    seq_len, batch, four_h = x_proj.shape
+    hidden_dim = four_h // 4
+    dtype = x_proj.dtype
+    es = jnp.dtype(dtype).itemsize
+    # streams: xp (4H in) + hs/cs (2H out) + gates (4H out) + mask (1)
+    k_block = _pick_k_block(
+        seq_len, 2 * four_h + 2 * hidden_dim + 1, batch, es,
+        fixed_bytes=hidden_dim * four_h * es + 2 * batch * hidden_dim * 4,
+    )
+    kernel = functools.partial(_lstm_scan_train_kernel, hidden_dim=hidden_dim,
+                               k_block=k_block)
+    hs, cs, gates = pl.pallas_call(
+        kernel,
+        grid=(seq_len // k_block,),
+        in_specs=[
+            pl.BlockSpec((k_block, batch, four_h), lambda t: (t, 0, 0)),
+            pl.BlockSpec((k_block, batch, 1), lambda t: (t, 0, 0)),
+            pl.BlockSpec((hidden_dim, four_h), lambda t: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((k_block, batch, hidden_dim), lambda t: (t, 0, 0)),
+            pl.BlockSpec((k_block, batch, hidden_dim), lambda t: (t, 0, 0)),
+            pl.BlockSpec((k_block, batch, four_h), lambda t: (t, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((seq_len, batch, hidden_dim), dtype),
+            jax.ShapeDtypeStruct((seq_len, batch, hidden_dim), dtype),
+            jax.ShapeDtypeStruct((seq_len, batch, four_h), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((batch, hidden_dim), jnp.float32),
+            pltpu.VMEM((batch, hidden_dim), jnp.float32),
+        ] if pltpu is not None else None,
+        interpret=interpret,
+    )(x_proj, mask.astype(dtype)[:, :, None], w_hh.astype(dtype))
+    return hs, cs, gates
+
+
+# ---------------------------------------------------------------------------
+# Pallas backward kernel: the LSTM adjoint recurrence
+# ---------------------------------------------------------------------------
+
+def _lstm_bwd_kernel(g_ref, cs_ref, cp_ref, dy_ref, mask_ref, wt_ref,
+                     dpre_ref, dh_scratch, dc_scratch, *, hidden_dim: int,
+                     k_block: int):
+    """Reverse-grid adjoint: ONE matmul per step (dpre @ W_hh^T).
+
+    Saved activated gates make the recompute matmul unnecessary; the weight
+    gradient is a single big MXU matmul OUTSIDE the kernel (same
+    split-of-labor as the forward's input projection). Grid step t processes
+    time block G-1-t; within a block, steps run last-to-first."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        dh_scratch[:] = jnp.zeros_like(dh_scratch)
+        dc_scratch[:] = jnp.zeros_like(dc_scratch)
+
+    def one_step(j, carry):
+        k = k_block - 1 - j
+        dh, dc = carry
+        i = g_ref[k, :, 0 * hidden_dim : 1 * hidden_dim].astype(jnp.float32)
+        f = g_ref[k, :, 1 * hidden_dim : 2 * hidden_dim].astype(jnp.float32)
+        g = g_ref[k, :, 2 * hidden_dim : 3 * hidden_dim].astype(jnp.float32)
+        o = g_ref[k, :, 3 * hidden_dim : 4 * hidden_dim].astype(jnp.float32)
+        c_t = cs_ref[k].astype(jnp.float32)
+        cp = cp_ref[k].astype(jnp.float32)
+        m = mask_ref[k].astype(jnp.float32)  # (B, 1)
+        tanh_ct = jnp.tanh(c_t)
+
+        dh_total = dy_ref[k].astype(jnp.float32) + dh
+        dc_total = dc + dh_total * o * (1.0 - tanh_ct * tanh_ct)
+        dpre_i = dc_total * g * i * (1.0 - i) * m
+        dpre_f = dc_total * cp * f * (1.0 - f) * m
+        dpre_g = dc_total * i * (1.0 - g * g) * m
+        dpre_o = dh_total * tanh_ct * o * (1.0 - o) * m
+        gd = dpre_ref.dtype
+        dpre_ref[k, :, 0 * hidden_dim : 1 * hidden_dim] = dpre_i.astype(gd)
+        dpre_ref[k, :, 1 * hidden_dim : 2 * hidden_dim] = dpre_f.astype(gd)
+        dpre_ref[k, :, 2 * hidden_dim : 3 * hidden_dim] = dpre_g.astype(gd)
+        dpre_ref[k, :, 3 * hidden_dim : 4 * hidden_dim] = dpre_o.astype(gd)
+
+        # dh_prev via 4 partial dots against W^T's row blocks (equivalent to
+        # concat(dpre) @ W^T without an in-kernel concatenate)
+        wt = wt_ref[:]
+        dh_prev_valid = (
+            jnp.dot(dpre_i.astype(wt.dtype), wt[0 * hidden_dim : 1 * hidden_dim],
+                    preferred_element_type=jnp.float32)
+            + jnp.dot(dpre_f.astype(wt.dtype), wt[1 * hidden_dim : 2 * hidden_dim],
+                      preferred_element_type=jnp.float32)
+            + jnp.dot(dpre_g.astype(wt.dtype), wt[2 * hidden_dim : 3 * hidden_dim],
+                      preferred_element_type=jnp.float32)
+            + jnp.dot(dpre_o.astype(wt.dtype), wt[3 * hidden_dim : 4 * hidden_dim],
+                      preferred_element_type=jnp.float32)
+        )
+        dc_prev_valid = dc_total * f
+        dh = m * dh_prev_valid + (1.0 - m) * dh_total
+        dc = m * dc_prev_valid + (1.0 - m) * dc
+        return dh, dc
+
+    dh, dc = dh_scratch[:], dc_scratch[:]
+    if k_block == 1:
+        dh, dc = one_step(0, (dh, dc))
+    else:
+        dh, dc = jax.lax.fori_loop(0, k_block, one_step, (dh, dc),
+                                   unroll=k_block)
+    dh_scratch[:] = dh
+    dc_scratch[:] = dc
+
+
+def _backward_pallas(w_hh, mask, gates, cs, c_prev, d_hs,
+                     interpret: bool = False):
+    """Run the adjoint kernel; returns dpre (T, B, 4H)."""
+    seq_len, batch, four_h = gates.shape
+    hidden_dim = four_h // 4
+    dtype = gates.dtype
+    es = jnp.dtype(dtype).itemsize
+    # streams: gates 4H + cs H + cp H + dy H + mask 1 in, dpre 4H out
+    k_block = _pick_k_block(
+        seq_len, 2 * four_h + 3 * hidden_dim + 1, batch, es,
+        fixed_bytes=four_h * hidden_dim * es + 2 * batch * hidden_dim * 4,
+    )
+    grid = seq_len // k_block
+    kernel = functools.partial(_lstm_bwd_kernel, hidden_dim=hidden_dim,
+                               k_block=k_block)
+    rev = lambda t: (grid - 1 - t, 0, 0)
+    dpre = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((k_block, batch, four_h), rev),
+            pl.BlockSpec((k_block, batch, hidden_dim), rev),
+            pl.BlockSpec((k_block, batch, hidden_dim), rev),
+            pl.BlockSpec((k_block, batch, hidden_dim), rev),
+            pl.BlockSpec((k_block, batch, 1), rev),
+            pl.BlockSpec((four_h, hidden_dim), lambda t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((k_block, batch, four_h), rev),
+        out_shape=jax.ShapeDtypeStruct((seq_len, batch, four_h), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((batch, hidden_dim), jnp.float32),
+            pltpu.VMEM((batch, hidden_dim), jnp.float32),
+        ] if pltpu is not None else None,
+        interpret=interpret,
+    )(gates, cs, c_prev, d_hs, mask.astype(dtype)[:, :, None],
+      jnp.swapaxes(w_hh, 0, 1).astype(dtype))
+    return dpre
+
+
+# ---------------------------------------------------------------------------
 # custom VJP wrapper
 # ---------------------------------------------------------------------------
 
@@ -155,18 +368,43 @@ def pallas_lstm_scan(x_proj, w_hh, mask, interpret: bool = False):
         mask:   (T, B) float, 1.0 where t < length.
     Returns:
         hs: (T, B, H) hidden states (carry value, NOT output-masked).
+
+    Inference (undifferentiated) runs the lean no-gates kernel; under grad,
+    the forward streams out activated gates and the backward is the Pallas
+    adjoint kernel (1 matmul/step) + one big outside matmul for dW_hh.
     """
     hs, _ = _forward_pallas(x_proj, w_hh, mask, interpret)
     return hs
 
 
 def _fwd(x_proj, w_hh, mask, interpret):
-    hs, cs = _forward_pallas(x_proj, w_hh, mask, interpret)
-    return hs, (x_proj, w_hh, mask, hs, cs)
+    hs, cs, gates = _forward_pallas_train(x_proj, w_hh, mask, interpret)
+    return hs, (w_hh, mask, hs, cs, gates)
 
 
 def _bwd(interpret, res, d_hs):
-    """LSTM adjoint as a reverse lax.scan, recomputing gates from (hs, cs)."""
+    """Pallas adjoint kernel + outside weight-gradient matmul."""
+    w_hh, mask, hs, cs, gates = res
+    seq_len, batch, four_h = gates.shape
+    hidden_dim = four_h // 4
+    dtype = gates.dtype
+    prec = matmul_precision(dtype)
+
+    zero_row = jnp.zeros((1, batch, hidden_dim), dtype)
+    h_prev = jnp.concatenate([zero_row, hs[:-1]], axis=0)
+    c_prev = jnp.concatenate([zero_row, cs[:-1]], axis=0)
+
+    dpre = _backward_pallas(w_hh, mask, gates, cs, c_prev,
+                            d_hs.astype(dtype), interpret)
+    # weight gradient as ONE MXU matmul over all (T*B) rows
+    d_whh = jnp.einsum("tbh,tbk->hk", h_prev, dpre, precision=prec,
+                       preferred_element_type=jnp.float32)
+    return dpre, d_whh.astype(w_hh.dtype), None
+
+
+def _bwd_scan_reference(interpret, res, d_hs):
+    """LSTM adjoint as a reverse lax.scan, recomputing gates from (hs, cs).
+    Kept as the equivalence reference for the Pallas backward kernel."""
     x_proj, w_hh, mask, hs, cs = res
     seq_len, batch, four_h = x_proj.shape
     hidden_dim = four_h // 4
@@ -271,8 +509,256 @@ def lstm_apply_pallas(
     return hs * valid[:, :, None]
 
 
+# ---------------------------------------------------------------------------
+# Fused bidirectional kernel: both directions in ONE pallas_call
+# ---------------------------------------------------------------------------
+#
+# The recurrence is latency-bound: each cell update's (B, H) x (H, 4H) dot
+# must wait for the previous step's gate math. Running fwd and the
+# time-flipped bwd direction inside the SAME grid step gives the scheduler
+# two INDEPENDENT dependency chains to interleave — the MXU works dir-1's dot
+# while the VPU does dir-0's gates — the same ~2x the XLA path gets from its
+# single fused scan (ops/lstm.py::bilstm_apply), now with the VMEM-resident
+# carry on top.
+
+
+def _bilstm_scan_kernel(xp_ref, mask_ref, w_ref, h_out_ref, c_out_ref,
+                        h_scratch, c_scratch, *, hidden_dim: int,
+                        k_block: int):
+    """One grid step over K timesteps of BOTH directions.
+
+    xp_ref: (K, 2, B, 4H) input projections (dir 1 already time-flipped);
+    mask_ref: (K, 2, B, 1); w_ref: (2, H, 4H); outs: (K, 2, B, H);
+    scratch: (2, B, H) fp32 carries.
+    """
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        h_scratch[:] = jnp.zeros_like(h_scratch)
+        c_scratch[:] = jnp.zeros_like(c_scratch)
+
+    def one_dir(pre, c):
+        i = jax.nn.sigmoid(pre[:, 0 * hidden_dim : 1 * hidden_dim])
+        f = jax.nn.sigmoid(pre[:, 1 * hidden_dim : 2 * hidden_dim])
+        g = jnp.tanh(pre[:, 2 * hidden_dim : 3 * hidden_dim])
+        o = jax.nn.sigmoid(pre[:, 3 * hidden_dim : 4 * hidden_dim])
+        c_new = f * c + i * g
+        return o * jnp.tanh(c_new), c_new
+
+    def one_step(k, carry):
+        h0, c0, h1, c1 = carry
+        # two independent dots — the scheduler interleaves the chains
+        pre0 = xp_ref[k, 0].astype(jnp.float32) + jnp.dot(
+            h0.astype(w_ref.dtype), w_ref[0],
+            preferred_element_type=jnp.float32)
+        pre1 = xp_ref[k, 1].astype(jnp.float32) + jnp.dot(
+            h1.astype(w_ref.dtype), w_ref[1],
+            preferred_element_type=jnp.float32)
+        h0_new, c0_new = one_dir(pre0, c0)
+        h1_new, c1_new = one_dir(pre1, c1)
+
+        m0 = mask_ref[k, 0].astype(jnp.float32)  # (B, 1)
+        m1 = mask_ref[k, 1].astype(jnp.float32)
+        h0 = m0 * h0_new + (1.0 - m0) * h0
+        c0 = m0 * c0_new + (1.0 - m0) * c0
+        h1 = m1 * h1_new + (1.0 - m1) * h1
+        c1 = m1 * c1_new + (1.0 - m1) * c1
+        h_out_ref[k, 0] = h0.astype(h_out_ref.dtype)
+        h_out_ref[k, 1] = h1.astype(h_out_ref.dtype)
+        c_out_ref[k, 0] = c0.astype(c_out_ref.dtype)
+        c_out_ref[k, 1] = c1.astype(c_out_ref.dtype)
+        return h0, c0, h1, c1
+
+    carry = (h_scratch[0], c_scratch[0], h_scratch[1], c_scratch[1])
+    if k_block == 1:
+        carry = one_step(0, carry)
+    else:
+        carry = jax.lax.fori_loop(0, k_block, one_step, carry,
+                                  unroll=k_block)
+    h_scratch[0], c_scratch[0] = carry[0], carry[1]
+    h_scratch[1], c_scratch[1] = carry[2], carry[3]
+
+
+def _fused_k_block(seq_len: int, batch: int, four_h: int, hidden_dim: int,
+                   itemsize: int, budget_bytes: int = 13 * 1024 * 1024) -> int:
+    """Largest K in {8,4,2,1} whose streamed blocks (double-buffered) plus the
+    resident weights/carries fit the ~16MB/core VMEM budget."""
+    fixed = 2 * hidden_dim * four_h * itemsize  # weights, fetched once
+    fixed += 2 * 2 * batch * hidden_dim * 4     # fp32 carry scratch
+    for k in (8, 4, 2, 1):
+        if seq_len % k:
+            continue
+        per_k = 2 * batch * (four_h + 2 * hidden_dim + 1) * itemsize
+        if fixed + 2 * k * per_k <= budget_bytes:  # x2 = double buffering
+            return k
+    return 1
+
+
+def _forward_pallas_bi(xp: jnp.ndarray, w_hh: jnp.ndarray, mask: jnp.ndarray,
+                       interpret: bool = False):
+    """xp (T, 2, B, 4H), w_hh (2, H, 4H), mask (T, 2, B) -> hs, cs (T, 2, B, H)."""
+    seq_len, _, batch, four_h = xp.shape
+    hidden_dim = four_h // 4
+    dtype = xp.dtype
+    k_block = _fused_k_block(seq_len, batch, four_h, hidden_dim,
+                             jnp.dtype(dtype).itemsize)
+
+    kernel = functools.partial(_bilstm_scan_kernel, hidden_dim=hidden_dim,
+                               k_block=k_block)
+    hs, cs = pl.pallas_call(
+        kernel,
+        grid=(seq_len // k_block,),
+        in_specs=[
+            pl.BlockSpec((k_block, 2, batch, four_h), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec((k_block, 2, batch, 1), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec((2, hidden_dim, four_h), lambda t: (0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((k_block, 2, batch, hidden_dim), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec((k_block, 2, batch, hidden_dim), lambda t: (t, 0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((seq_len, 2, batch, hidden_dim), dtype),
+            jax.ShapeDtypeStruct((seq_len, 2, batch, hidden_dim), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, batch, hidden_dim), jnp.float32),
+            pltpu.VMEM((2, batch, hidden_dim), jnp.float32),
+        ] if pltpu is not None else None,
+        interpret=interpret,
+    )(xp, mask.astype(dtype)[..., None], w_hh.astype(dtype))
+    return hs, cs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def pallas_bilstm_scan(xp, w_hh, mask, interpret: bool = False):
+    """Differentiable fused BIDIRECTIONAL LSTM recurrence.
+
+    Args:
+        xp:   (T, 2, B, 4H) input projections; dir 1 pre-flipped in time.
+        w_hh: (2, H, 4H) recurrent weights (fwd, bwd).
+        mask: (T, 2, B) float validity (dir 1 pre-flipped).
+    Returns:
+        hs: (T, 2, B, H) hidden states.
+    """
+    hs, _ = _forward_pallas_bi(xp, w_hh, mask, interpret)
+    return hs
+
+
+def _fwd_bi(xp, w_hh, mask, interpret):
+    hs, cs = _forward_pallas_bi(xp, w_hh, mask, interpret)
+    return hs, (xp, w_hh, mask, hs, cs)
+
+
+def _bwd_bi(interpret, res, d_hs):
+    """Fused-direction LSTM adjoint: ONE reverse lax.scan carries both
+    directions' (dh, dc), halving the backward's sequential latency exactly
+    like the forward fusion (gates recomputed from saved (hs, cs))."""
+    xp, w_hh, mask, hs, cs = res
+    seq_len, dirs, batch, four_h = xp.shape
+    hidden_dim = four_h // 4
+    dtype = xp.dtype
+    prec = matmul_precision(dtype)
+
+    zero_row = jnp.zeros((1, dirs, batch, hidden_dim), dtype)
+    h_prev = jnp.concatenate([zero_row, hs[:-1]], axis=0)
+    c_prev = jnp.concatenate([zero_row, cs[:-1]], axis=0)
+
+    def step(carry, inp):
+        dh_next, dc_next = carry          # (2, B, H)
+        xp_t, m_t, hp, cp, c_t, dy = inp  # (2, B, ...) each
+        m = m_t[..., None]                # (2, B, 1)
+
+        pre = xp_t + jnp.einsum("dbh,dhk->dbk", hp, w_hh, precision=prec)
+        i = jax.nn.sigmoid(pre[..., 0 * hidden_dim : 1 * hidden_dim])
+        f = jax.nn.sigmoid(pre[..., 1 * hidden_dim : 2 * hidden_dim])
+        g = jnp.tanh(pre[..., 2 * hidden_dim : 3 * hidden_dim])
+        o = jax.nn.sigmoid(pre[..., 3 * hidden_dim : 4 * hidden_dim])
+        tanh_ct = jnp.tanh(c_t)
+
+        dh_total = dy + dh_next
+        dc_total = dc_next + dh_total * o * (1.0 - tanh_ct * tanh_ct)
+        dpre_o = dh_total * tanh_ct * o * (1.0 - o)
+        dpre_f = dc_total * cp * f * (1.0 - f)
+        dpre_i = dc_total * g * i * (1.0 - i)
+        dpre_g = dc_total * i * (1.0 - g * g)
+        dpre = jnp.concatenate([dpre_i, dpre_f, dpre_g, dpre_o], axis=-1)
+        dpre = dpre * m
+        dh_prev_valid = jnp.einsum("dbk,dhk->dbh", dpre, w_hh, precision=prec)
+        dc_prev_valid = dc_total * f
+        dh_prev = jnp.where(m > 0, dh_prev_valid, dh_total)
+        dc_prev = jnp.where(m > 0, dc_prev_valid, dc_next)
+        dw = jnp.einsum("dbh,dbk->dhk", hp, dpre, precision=prec)
+        return (dh_prev, dc_prev), (dpre, dw)
+
+    zeros = jnp.zeros((dirs, batch, hidden_dim), dtype)
+    (_, _), (d_xp, dws) = jax.lax.scan(
+        step, (zeros, zeros),
+        (xp, mask.astype(dtype), h_prev, c_prev, cs, d_hs),
+        reverse=True,
+    )
+    d_whh = dws.sum(axis=0)
+    return d_xp, d_whh.astype(w_hh.dtype), None
+
+
+pallas_bilstm_scan.defvjp(_fwd_bi, _bwd_bi)
+
+
 def bilstm_apply_pallas(params: dict, x: jnp.ndarray, lengths: jnp.ndarray,
                         interpret: bool | None = None) -> jnp.ndarray:
+    """Bidirectional LSTM on the Pallas recurrence: one kernel per direction.
+
+    MEASURED choice (RESULTS.md): at B>=32 the recurrence is MXU-throughput-
+    bound, so two K=8 kernels beat one direction-fused kernel whose doubled
+    block footprint forces K<=2 under the ~16MB VMEM budget (the fused
+    variant is kept below as ``bilstm_apply_pallas_fused``)."""
     h_fwd = lstm_apply_pallas(params["fwd"], x, lengths, False, interpret)
     h_bwd = lstm_apply_pallas(params["bwd"], x, lengths, True, interpret)
     return jnp.concatenate([h_fwd, h_bwd], axis=-1)
+
+
+def bilstm_apply_pallas_fused(params: dict, x: jnp.ndarray,
+                              lengths: jnp.ndarray,
+                              interpret: bool | None = None) -> jnp.ndarray:
+    """Bidirectional LSTM with BOTH directions fused into one pallas_call
+    (one VMEM carry, halved grid steps — wins only when latency-bound, i.e.
+    small B; see bilstm_apply_pallas for the measured default)."""
+    from attention_based_e2e_asr_dnn_tpu.ops.masking import length_mask
+
+    if interpret is None:
+        interpret = _auto_interpret()
+    batch, seq_len, _ = x.shape
+    hidden_dim = params["fwd"]["w_hh"].shape[0]
+    four_h = 4 * hidden_dim
+    if not interpret and (batch % 8 != 0 or four_h % 128 != 0):
+        from attention_based_e2e_asr_dnn_tpu.ops.lstm import bilstm_apply
+
+        return bilstm_apply(params, x, lengths)
+    dtype = x.dtype
+    prec = matmul_precision(dtype)
+
+    # ONE input-projection matmul for both directions: concat W_ih on the
+    # output dim -> a single bigger MXU op, then split
+    w_ih = jnp.concatenate(
+        [params["fwd"]["w_ih"], params["bwd"]["w_ih"]], axis=1
+    ).astype(dtype)
+    b = jnp.concatenate([params["fwd"]["b"], params["bwd"]["b"]]).astype(dtype)
+    xp_cat = jnp.einsum("btd,dh->bth", x, w_ih, precision=prec) + b
+    xp_f, xp_b = xp_cat[..., :four_h], xp_cat[..., four_h:]
+
+    valid = length_mask(lengths, seq_len, dtype=dtype)          # (B, T)
+    xp = jnp.stack([xp_f, jnp.flip(xp_b, axis=1)], axis=0)      # (2, B, T, 4H)
+    vstack = jnp.stack([valid, jnp.flip(valid, axis=1)], 0)     # (2, B, T)
+    w_hh = jnp.stack([params["fwd"]["w_hh"], params["bwd"]["w_hh"]], 0)
+
+    hs = pallas_bilstm_scan(
+        jnp.moveaxis(xp, 2, 0),       # (T, 2, B, 4H)
+        w_hh.astype(dtype),
+        jnp.moveaxis(vstack, 2, 0),   # (T, 2, B)
+        interpret,
+    )
+    h_fwd = jnp.moveaxis(hs[:, 0], 0, 1)                  # (B, T, H)
+    h_bwd = jnp.flip(jnp.moveaxis(hs[:, 1], 0, 1), axis=1)
+    out = jnp.concatenate([h_fwd, h_bwd], axis=-1)
+    return out * valid[:, :, None]

@@ -127,6 +127,20 @@ def main(args):
     if use_mini:
         trn_ds = ToyTrainDevDataset(trncfgs.TRN_FOLDER, "train", vocab_map)
         dev_ds = ToyTrainDevDataset(trncfgs.TRN_FOLDER, "dev", vocab_map)
+    elif bool(getattr(trncfgs, "lazy_data", False)):
+        # disk-backed features: batches assembled by the native thread pool,
+        # nothing preloaded (the reference loads ALL features into RAM,
+        # src/utils.py:69-76)
+        from attention_based_e2e_asr_dnn_tpu.data.lazy import LazyAsrTrainDevDataset
+
+        trn_ds = LazyAsrTrainDevDataset(
+            trncfgs.TRN_FOLDER, vocab_map, keep_tags=True,
+            max_utterances=getattr(trncfgs, "max_utterances", None),
+        )
+        dev_ds = LazyAsrTrainDevDataset(
+            trncfgs.DEV_FOLDER, vocab_map, keep_tags=True,
+            max_utterances=getattr(trncfgs, "max_utterances", None),
+        )
     else:
         trn_ds = AsrTrainDevDataset(
             std_dir=trncfgs.TRN_FOLDER, label_to_idx=vocab_map, keep_tags=True,
@@ -174,6 +188,18 @@ def main(args):
             print(f"[parallel] data-parallel mesh over {mesh.size} devices")
         shard_batch = shard_batch_fn(mesh)
 
+    # optional beam-search dev LD (eval_beam_size > 1; the reference's beam
+    # branch was an empty stub, src/models.py:486-490)
+    beam_decode = None
+    eval_beam = int(getattr(trncfgs, "eval_beam_size", 0) or 0)
+    if eval_beam > 1:
+        from attention_based_e2e_asr_dnn_tpu.decoding.beam import make_las_beam_step
+
+        beam_decode = make_las_beam_step(
+            las_cfg, beam_size=eval_beam, compute_dtype=compute_dtype,
+            length_alpha=float(getattr(trncfgs, "length_alpha", 0.0) or 0.0),
+        )
+
     trainer = Trainer(
         init_fn=init_fn,
         make_apply=make_apply,
@@ -188,6 +214,7 @@ def main(args):
         logger=logger,
         shard_batch=shard_batch,
         shard_state=shard_state,
+        beam_decode=beam_decode,
     )
     from attention_based_e2e_asr_dnn_tpu.utils.summary import (
         model_summary,

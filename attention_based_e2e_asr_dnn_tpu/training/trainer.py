@@ -65,6 +65,7 @@ class Trainer:
         logger: Optional[MetricLogger] = None,
         shard_batch: Optional[Callable] = None,
         shard_state: Optional[Callable] = None,
+        beam_decode: Optional[Callable] = None,
     ):
         self.trncfgs = trncfgs
         self.trn_batcher = trn_batcher
@@ -80,6 +81,10 @@ class Trainer:
         # matrices column-parallel on 'model', rest replicated) — XLA derives
         # the collectives from these annotations inside the same jitted step
         self.shard_state = shard_state or (lambda s: s)
+        # optional beam decoder (params, x, lx) -> ids for dev LD (the
+        # reference only ever evaluated greedily; eval_beam_size wires the
+        # real beam search into the epoch loop)
+        self.beam_decode = beam_decode
 
         self.accu_grad = int(getattr(trncfgs, "accu_grad", 1))
         self.grad_norm = float(getattr(trncfgs, "grad_norm", 5.0))
@@ -268,6 +273,8 @@ class Trainer:
             metrics, pred_ids = self.eval_step(self.state.params, *batch)
             total_loss += float(metrics["loss"])
             total_ppl += float(metrics["ppl"])
+            if self.beam_decode is not None:
+                pred_ids = self.beam_decode(self.state.params, batch[0], batch[1])
             real = indices >= 0
             total_ld += batch_levenshtein(
                 np.asarray(pred_ids)[real], y[real], ly[real],

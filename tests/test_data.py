@@ -172,3 +172,39 @@ def test_lazy_dataset_native_assembly(tmp_path):
         assert lx == len(a)
         np.testing.assert_array_equal(x_row[: len(a)], a)
         assert np.all(x_row[len(a):] == 0.0)
+
+
+def test_lazy_train_dev_dataset_matches_eager(tmp_path):
+    """Disk-backed train/dev batches == the in-RAM dataset's batches."""
+    from attention_based_e2e_asr_dnn_tpu.data.datasets import AsrTrainDevDataset
+    from attention_based_e2e_asr_dnn_tpu.data.lazy import LazyAsrTrainDevDataset
+
+    mfcc = tmp_path / "mfcc"
+    raw = tmp_path / "transcript" / "raw"
+    mfcc.mkdir()
+    raw.mkdir(parents=True)
+    rng = np.random.default_rng(5)
+    for i, (t, text) in enumerate(zip([48, 21, 70], ["HI", "YO", "HEY"])):
+        np.save(mfcc / f"u{i}.npy", rng.normal(size=(t, 15)).astype(np.float32))
+        np.save(raw / f"u{i}.npy", np.array(["<sos>"] + list(text) + ["<eos>"]))
+
+    eager = AsrTrainDevDataset(std_dir=str(tmp_path), label_to_idx=VOCAB_MAP)
+    lazy = LazyAsrTrainDevDataset(str(tmp_path), VOCAB_MAP)
+    assert list(lazy.feature_lengths) == [48, 21, 70]
+
+    def batches(ds):
+        b = BucketBatcher(ds, batch_size=2, pad_time_multiple=16,
+                          pad_label_multiple=8)
+        return list(b.epoch(0))
+
+    for be, bl in zip(batches(eager), batches(lazy)):
+        np.testing.assert_array_equal(bl.x, be.x)
+        np.testing.assert_array_equal(bl.lx, be.lx)
+        np.testing.assert_array_equal(bl.y, be.y)
+        np.testing.assert_array_equal(bl.ly, be.ly)
+        np.testing.assert_array_equal(bl.indices, be.indices)
+
+    # item contract matches too (feature loaded on demand)
+    xf, yt = lazy[1]
+    np.testing.assert_array_equal(xf, eager[1][0])
+    np.testing.assert_array_equal(yt, eager[1][1])

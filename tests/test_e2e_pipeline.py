@@ -194,3 +194,29 @@ def test_resume_from_checkpoint(pipeline_dirs, tmp_path):
     expect = len(loaded["dev_loss"]) + (3 - loaded["epoch"])
     assert len(trainer2.dev_history["loss"]) == expect
     assert trainer2.epoch == 3
+
+
+def test_train_with_lazy_data(pipeline_dirs, tmp_path):
+    """End-to-end training from a disk-backed layout (lazy_data: true) —
+    features are never preloaded; loss trajectory matches the eager path."""
+    from attention_based_e2e_asr_dnn_tpu import train as train_mod
+
+    root, _ = pipeline_dirs
+    cfg = _train_config(root, str(tmp_path / "exp_lazy"))
+    cfg["lazy_data"] = True
+    cfg_path = str(tmp_path / "cfg_lazy.yml")
+    with open(cfg_path, "w") as fh:
+        yaml.safe_dump(cfg, fh)
+    trainer_lazy = train_mod.main(train_mod.build_argparser().parse_args(["-c", cfg_path]))
+
+    cfg["lazy_data"] = False
+    cfg["EXP_FOLDER"] = str(tmp_path / "exp_eager")
+    cfg_path2 = str(tmp_path / "cfg_eager.yml")
+    with open(cfg_path2, "w") as fh:
+        yaml.safe_dump(cfg, fh)
+    trainer_eager = train_mod.main(train_mod.build_argparser().parse_args(["-c", cfg_path2]))
+
+    np.testing.assert_allclose(
+        trainer_lazy.train_history["loss"], trainer_eager.train_history["loss"],
+        rtol=1e-6,
+    )

@@ -113,3 +113,31 @@ def test_listener_remat_matches_no_remat():
     g1 = jax.grad(lambda p: loss(p, cfg_r))(params)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.parametrize("variant", ["split", "fused"])
+def test_pallas_bilstm_gradients_match_scan(variant):
+    """Both Pallas BiLSTM variants' custom VJPs vs autodiff through the
+    lax.scan BiLSTM (split = default kernel-per-direction with the Pallas
+    adjoint kernel; fused = both directions in one pallas_call)."""
+    from attention_based_e2e_asr_dnn_tpu.ops.lstm_pallas import (
+        bilstm_apply_pallas_fused,
+    )
+
+    fn = bilstm_apply_pallas if variant == "split" else bilstm_apply_pallas_fused
+    B, T, D, H = 3, 6, 4, 8
+    params = bilstm_init(jax.random.key(6), D, H)
+    x = jax.random.normal(jax.random.key(7), (B, T, D))
+    lengths = jnp.array([6, 4, 2])
+
+    def loss_ref(p, xx):
+        return jnp.sum(bilstm_apply(p, xx, lengths) ** 2)
+
+    def loss_pal(p, xx):
+        return jnp.sum(fn(p, xx, lengths, interpret=True) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(params, x)
+    g_pal = jax.grad(loss_pal, argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pal)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=1e-4)
