@@ -10,14 +10,23 @@ Policy parity with the reference (src/train.py:321-391):
   * inference-time uniform weight averaging over all checkpoints
     (src/infer.py:158-172) via ``average_checkpoints``.
 
-Format: host numpy pytrees pickled to a single file (the analogue of the
-reference's torch.save payload dict).
+Format: DATA-ONLY — one ``.ckpt`` file that is an npz archive of the flat
+array leaves plus a JSON metadata/structure record. Unlike the reference's
+``torch.save`` (and a bare pickle), loading a checkpoint can never execute
+code from the file. Legacy pickle checkpoints from earlier builds still load
+behind a loud trust warning.
+
+The optimizer state's pytree STRUCTURE (optax NamedTuple nesting) is not
+serialized — only its leaves are; ``Trainer.load`` rebuilds it against the
+live optimizer's ``tree_structure``, which also makes the format stable
+across optax versions.
 """
 
 from __future__ import annotations
 
+import json
 import os
-import pickle
+import warnings
 from typing import List, Optional
 
 import jax
@@ -28,23 +37,85 @@ def _to_host(tree):
     return jax.tree.map(lambda a: np.asarray(jax.device_get(a)), tree)
 
 
+def _encode_tree(tree, leaves: list):
+    """Plain-container pytree -> JSON skeleton with '@i' leaf placeholders."""
+    if isinstance(tree, dict):
+        return {k: _encode_tree(v, leaves) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return [_encode_tree(v, leaves) for v in tree]
+    leaves.append(np.asarray(jax.device_get(tree)))
+    return f"@{len(leaves) - 1}"
+
+
+def _decode_tree(skel, leaves: dict):
+    if isinstance(skel, dict):
+        return {k: _decode_tree(v, leaves) for k, v in skel.items()}
+    if isinstance(skel, list):
+        return [_decode_tree(v, leaves) for v in skel]
+    return leaves[skel]
+
+
 def save_checkpoint(path: str, payload: dict) -> str:
     """Save a checkpoint payload (params/opt_state pytrees + metadata)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    host = dict(payload)
-    for key in ("params", "opt_state"):
-        if key in host and host[key] is not None:
-            host[key] = _to_host(host[key])
+    arrays = {}
+    meta = {}
+    params_skel = None
+    n_opt = 0
+    for key, value in payload.items():
+        if key == "params" and value is not None:
+            p_leaves: list = []
+            params_skel = _encode_tree(value, p_leaves)
+            for i, leaf in enumerate(p_leaves):
+                arrays[f"p{i}"] = leaf
+        elif key == "opt_state" and value is not None:
+            o_leaves = [np.asarray(jax.device_get(l))
+                        for l in jax.tree_util.tree_leaves(value)]
+            n_opt = len(o_leaves)
+            for i, leaf in enumerate(o_leaves):
+                arrays[f"o{i}"] = leaf
+        else:
+            meta[key] = value
+    record = {"meta": meta, "params_tree": params_skel, "n_opt_leaves": n_opt}
+    arrays["__record__"] = np.frombuffer(
+        json.dumps(record, default=float).encode("utf-8"), dtype=np.uint8
+    )
     tmp = path + ".tmp"
     with open(tmp, "wb") as fh:
-        pickle.dump(host, fh, protocol=pickle.HIGHEST_PROTOCOL)
+        np.savez(fh, **arrays)
     os.replace(tmp, path)
     return path
 
 
 def load_checkpoint(path: str) -> dict:
+    """Load a checkpoint. ``opt_state`` comes back as a FLAT leaf list —
+    rebuild it with ``tree_unflatten`` against the live optimizer structure
+    (Trainer.load does). Data-only: no code execution from the file."""
     with open(path, "rb") as fh:
-        return pickle.load(fh)
+        magic = fh.read(2)
+    if magic != b"PK":  # legacy pickle checkpoint (pre data-only format)
+        import pickle
+
+        warnings.warn(
+            f"{path}: legacy pickle checkpoint — pickle executes arbitrary "
+            f"code; only load files you created yourself",
+            stacklevel=2,
+        )
+        with open(path, "rb") as fh:
+            return pickle.load(fh)
+    with np.load(path, allow_pickle=False) as z:
+        record = json.loads(bytes(z["__record__"]).decode("utf-8"))
+        out = dict(record["meta"])
+        if record["params_tree"] is not None:
+            leaves = {f"@{i}": z[f"p{i}"]
+                      for i in range(sum(1 for k in z.files if k.startswith("p")))}
+            out["params"] = _decode_tree(record["params_tree"], leaves)
+        if record["n_opt_leaves"]:
+            out["opt_state"] = [z[f"o{i}"]
+                                for i in range(record["n_opt_leaves"])]
+        else:
+            out.setdefault("opt_state", None)
+        return out
 
 
 def average_checkpoints(paths: List[str]) -> dict:

@@ -222,7 +222,10 @@ class TeacherForcingScheduler:
             epoch > 0
             and dev_ld_history
             and dev_ld_history[-1] <= 20
-            and self.tf_rate > self.lowest
+            # epsilon guard: repeated ``tf -= 0.1`` leaves 0.6000...01 > 0.6
+            # and the floor is silently crossed (the reference has the same
+            # float bug, src/train.py:452; documented fix)
+            and self.tf_rate > self.lowest + 1e-9
             and epoch - self.last_turn[0] > self.interval
             and dev_ld_history[-1] < self.last_turn[1]
         ):

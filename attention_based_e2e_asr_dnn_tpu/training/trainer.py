@@ -396,10 +396,18 @@ class Trainer:
         params = jax.tree.map(jnp.asarray, loaded["params"])
         opt_state = self.state.opt_state
         if loaded.get("opt_state") is not None:
-            opt_state = jax.tree.map(
-                lambda ref, new: jnp.asarray(new), self.state.opt_state,
-                loaded["opt_state"],
-            )
+            if isinstance(loaded["opt_state"], list):
+                # data-only format: flat leaves, rebuilt against the LIVE
+                # optimizer's structure (stable across optax versions)
+                opt_state = jax.tree_util.tree_unflatten(
+                    jax.tree_util.tree_structure(self.state.opt_state),
+                    [jnp.asarray(l) for l in loaded["opt_state"]],
+                )
+            else:  # legacy pickle payload carried the full pytree
+                opt_state = jax.tree.map(
+                    lambda ref, new: jnp.asarray(new), self.state.opt_state,
+                    loaded["opt_state"],
+                )
         self.state = self.shard_state(TrainState(
             params=params, opt_state=opt_state, rng=self.state.rng,
             step=self.state.step,
