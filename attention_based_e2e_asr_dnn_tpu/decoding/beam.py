@@ -39,6 +39,12 @@ from attention_based_e2e_asr_dnn_tpu.ops.precision import matmul_precision
 NEG_INF = -1e30
 
 
+import functools
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "beam_size", "max_steps",
+                                    "exact_prune", "max_len_factor"))
 def _beam_decode_scan(
     params: dict,
     cfg: SpellerConfig,
@@ -46,6 +52,8 @@ def _beam_decode_scan(
     enc_l: jnp.ndarray,
     beam_size: int,
     max_steps: int,
+    exact_prune: bool = False,
+    max_len_factor: float = 3.0,
 ):
     """Run the beam scan. Returns (tokens, parents, scores, finished):
     tokens/parents (steps, B, K) int32, scores (B, K) float32."""
@@ -89,7 +97,14 @@ def _beam_decode_scan(
             xk, parent.reshape(batch, K, *([1] * (x.ndim - 1))), axis=1
         ).reshape(BK, *x.shape[1:])
 
-    def step(carry):
+    # per-row length-aware cap: a transcript cannot plausibly exceed
+    # ~max_len_factor characters per encoder frame (degenerate repeat loops
+    # otherwise burn the full CHR_MAX_STEPS with near-zero score decay)
+    row_cap = (jnp.asarray(max_len_factor * enc_l, jnp.float32)
+               if max_len_factor > 0 else
+               jnp.full((batch,), float(max_steps), jnp.float32))
+
+    def step(t, carry):
         char, h1, c1, h2, c2, context, scores, finished = carry
 
         char_e = emb[char]
@@ -124,6 +139,18 @@ def _beam_decode_scan(
         ctx = gather_beams(ctx, parent)
         fin_parent = jnp.take_along_axis(finished, parent, axis=1)
         finished_new = fin_parent | (token == cfg.CHR_PAD_IDX)
+        finished_new = finished_new | (jnp.float32(t + 1) >= row_cap[:, None])
+        if exact_prune:
+            # EXACT dominance pruning (only valid without length norm):
+            # log-prob scores are monotonically non-increasing, so a live
+            # hypothesis strictly below a finished one can never win — freeze
+            # it so the all-finished early exit fires as soon as the outcome
+            # is decided. Does not change the returned argmax.
+            best_fin = jnp.max(
+                jnp.where(finished_new, new_scores, NEG_INF), axis=1,
+                keepdims=True,
+            )
+            finished_new = finished_new | (new_scores < best_fin)
 
         carry = (token.reshape(BK), h1n, c1n, h2n, c2n, ctx, new_scores,
                  finished_new)
@@ -147,7 +174,7 @@ def _beam_decode_scan(
 
     def body(state):
         t, carry, tokens, parents, fin = state
-        carry, (token, parent, finished_new) = step(carry)
+        carry, (token, parent, finished_new) = step(t, carry)
         tokens = jax.lax.dynamic_update_slice(tokens, token[None], (t, 0, 0))
         parents = jax.lax.dynamic_update_slice(parents, parent[None], (t, 0, 0))
         fin = jax.lax.dynamic_update_slice(fin, finished_new[None], (t, 0, 0))
@@ -196,16 +223,20 @@ def beam_search(
     beam_size: int = 8,
     max_steps: int = 0,
     length_alpha: float = 0.0,
+    max_len_factor: float = 3.0,
 ) -> np.ndarray:
     """Full beam search over precomputed encodings.
 
     Returns (B, max_steps) int32 best sequences (EOS-padded after the first
     <eos>). Selection: highest score, length-normalized by
-    ``(len_until_eos)**length_alpha`` when alpha > 0.
+    ``(len_until_eos)**length_alpha`` when alpha > 0. ``max_len_factor``
+    force-finishes hypotheses beyond that many characters per encoder frame
+    (0 disables).
     """
     max_steps = max_steps or cfg.CHR_MAX_STEPS
     tokens, parents, fin, final_scores, _ = _beam_decode_scan(
-        params, cfg, enc_h, enc_l, beam_size, max_steps
+        params, cfg, enc_h, enc_l, beam_size, max_steps,
+        exact_prune=(length_alpha == 0.0), max_len_factor=max_len_factor,
     )
     tokens = np.asarray(tokens)
     parents = np.asarray(parents)

@@ -28,10 +28,14 @@ def greedy_decode_early_stop(
     enc_h: jnp.ndarray,
     enc_l: jnp.ndarray,
     max_steps: int = 0,
+    max_len_factor: float = 3.0,
 ) -> jnp.ndarray:
     """Free-running greedy decode with all-finished early exit.
 
     Returns (B, max_steps) int32, PAD-filled after each row's first <eos>.
+    ``max_len_factor`` force-finishes a row beyond that many characters per
+    encoder frame — a degenerate repeat loop otherwise burns the full
+    CHR_MAX_STEPS (0 disables).
     """
     max_steps = max_steps or cfg.CHR_MAX_STEPS
     batch, enc_max_len, _ = enc_h.shape
@@ -74,6 +78,9 @@ def greedy_decode_early_stop(
         nxt = jnp.where(done, jnp.int32(cfg.CHR_PAD_IDX), nxt)
         out = jax.lax.dynamic_update_slice(out, nxt[:, None], (0, t))
         done = done | (nxt == cfg.CHR_PAD_IDX)
+        if max_len_factor > 0:
+            done = done | (jnp.float32(t + 1)
+                           >= max_len_factor * enc_l.astype(jnp.float32))
         return (t + 1, nxt, h1n, c1n, h2n, c2n, ctx, done, out)
 
     state = (jnp.int32(0), char0, h1, c1, h2, c2, context0, done0, out0)

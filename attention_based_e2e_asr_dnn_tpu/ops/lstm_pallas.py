@@ -50,12 +50,16 @@ def _auto_interpret() -> bool:
 
 
 def _lstm_scan_kernel(xp_ref, mask_ref, w_ref, h_out_ref, c_out_ref,
-                      h_scratch, c_scratch, *, hidden_dim: int, k_block: int):
+                      h_scratch, c_scratch, *, hidden_dim: int, k_block: int,
+                      scan_desc: bool = False):
     """One grid step: consume x_proj[t*K:(t+1)*K], update carry K times.
 
     Processing K timesteps per grid step amortizes the pipeline's per-step
     overhead; the sequential dependency only exists on the recurrent matmul,
-    which runs K times inside.
+    which runs K times inside. ``scan_desc`` walks the block last-to-first —
+    combined with reversed BLOCK index maps this runs the whole scan in
+    descending time with ZERO host-side flips (the BiLSTM backward
+    direction).
     """
     t = pl.program_id(0)
 
@@ -64,7 +68,8 @@ def _lstm_scan_kernel(xp_ref, mask_ref, w_ref, h_out_ref, c_out_ref,
         h_scratch[:] = jnp.zeros_like(h_scratch)
         c_scratch[:] = jnp.zeros_like(c_scratch)
 
-    def one_step(k, carry):
+    def one_step(j, carry):
+        k = k_block - 1 - j if scan_desc else j
         # Gate math in fp32: fp32 carries for stability over long sequences,
         # and Mosaic transcendentals want a uniform element type (bf16
         # sigmoid hits a mixed-dtype broadcast bug).
@@ -97,9 +102,22 @@ def _lstm_scan_kernel(xp_ref, mask_ref, w_ref, h_out_ref, c_out_ref,
     c_scratch[:] = c
 
 
+def _scan_specs(grid: int, scan_desc: bool):
+    """Index maps for a time-blocked scan: identity for ascending time,
+    reversed block order for descending (zero-copy reverse — no host flips)."""
+    if scan_desc:
+        return lambda t: (grid - 1 - t, 0, 0)
+    return lambda t: (t, 0, 0)
+
+
 def _forward_pallas(x_proj: jnp.ndarray, w_hh: jnp.ndarray, mask: jnp.ndarray,
-                    interpret: bool = False, k_block: int = 8):
+                    interpret: bool = False, k_block: int = 8,
+                    reverse: bool = False):
     """x_proj (T, B, 4H), w_hh (H, 4H), mask (T, B) float -> hs, cs (T, B, H).
+
+    ``reverse=True`` runs the scan in DESCENDING time via reversed block
+    index maps + descending in-block iteration; inputs and outputs stay in
+    original time order (no jnp.flip copies anywhere).
 
     TPU tiling: B must be a multiple of 8 and 4H a multiple of 128 (callers
     guard and fall back to the lax.scan path otherwise). The mask rides as
@@ -113,20 +131,22 @@ def _forward_pallas(x_proj: jnp.ndarray, w_hh: jnp.ndarray, mask: jnp.ndarray,
     dtype = x_proj.dtype
     if seq_len % k_block != 0:
         k_block = 1
+    grid = seq_len // k_block
+    idx = _scan_specs(grid, reverse)
 
     kernel = functools.partial(_lstm_scan_kernel, hidden_dim=hidden_dim,
-                               k_block=k_block)
+                               k_block=k_block, scan_desc=reverse)
     hs, cs = pl.pallas_call(
         kernel,
-        grid=(seq_len // k_block,),
+        grid=(grid,),
         in_specs=[
-            pl.BlockSpec((k_block, batch, four_h), lambda t: (t, 0, 0)),
-            pl.BlockSpec((k_block, batch, 1), lambda t: (t, 0, 0)),
+            pl.BlockSpec((k_block, batch, four_h), idx),
+            pl.BlockSpec((k_block, batch, 1), idx),
             pl.BlockSpec((hidden_dim, four_h), lambda t: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((k_block, batch, hidden_dim), lambda t: (t, 0, 0)),
-            pl.BlockSpec((k_block, batch, hidden_dim), lambda t: (t, 0, 0)),
+            pl.BlockSpec((k_block, batch, hidden_dim), idx),
+            pl.BlockSpec((k_block, batch, hidden_dim), idx),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((seq_len, batch, hidden_dim), dtype),
@@ -147,7 +167,8 @@ def _forward_pallas(x_proj: jnp.ndarray, w_hh: jnp.ndarray, mask: jnp.ndarray,
 
 def _lstm_scan_train_kernel(xp_ref, mask_ref, w_ref, h_out_ref, c_out_ref,
                             g_out_ref, h_scratch, c_scratch, *,
-                            hidden_dim: int, k_block: int):
+                            hidden_dim: int, k_block: int,
+                            scan_desc: bool = False):
     """Forward recurrence that ALSO streams out the activated gates
     (i, f, g, o) so the backward kernel needs no recompute matmul."""
     t = pl.program_id(0)
@@ -157,7 +178,8 @@ def _lstm_scan_train_kernel(xp_ref, mask_ref, w_ref, h_out_ref, c_out_ref,
         h_scratch[:] = jnp.zeros_like(h_scratch)
         c_scratch[:] = jnp.zeros_like(c_scratch)
 
-    def one_step(k, carry):
+    def one_step(j, carry):
+        k = k_block - 1 - j if scan_desc else j
         h, c = carry
         pre = xp_ref[k].astype(jnp.float32) + jnp.dot(
             h.astype(w_ref.dtype), w_ref[:], preferred_element_type=jnp.float32
@@ -203,7 +225,8 @@ def _pick_k_block(seq_len: int, stream_cols: int, batch: int, itemsize: int,
     return 1
 
 
-def _forward_pallas_train(x_proj, w_hh, mask, interpret: bool = False):
+def _forward_pallas_train(x_proj, w_hh, mask, interpret: bool = False,
+                          reverse: bool = False):
     """Training forward: returns (hs, cs, gates) — gates (T, B, 4H)."""
     seq_len, batch, four_h = x_proj.shape
     hidden_dim = four_h // 4
@@ -214,20 +237,22 @@ def _forward_pallas_train(x_proj, w_hh, mask, interpret: bool = False):
         seq_len, 2 * four_h + 2 * hidden_dim + 1, batch, es,
         fixed_bytes=hidden_dim * four_h * es + 2 * batch * hidden_dim * 4,
     )
+    grid = seq_len // k_block
+    idx = _scan_specs(grid, reverse)
     kernel = functools.partial(_lstm_scan_train_kernel, hidden_dim=hidden_dim,
-                               k_block=k_block)
+                               k_block=k_block, scan_desc=reverse)
     hs, cs, gates = pl.pallas_call(
         kernel,
-        grid=(seq_len // k_block,),
+        grid=(grid,),
         in_specs=[
-            pl.BlockSpec((k_block, batch, four_h), lambda t: (t, 0, 0)),
-            pl.BlockSpec((k_block, batch, 1), lambda t: (t, 0, 0)),
+            pl.BlockSpec((k_block, batch, four_h), idx),
+            pl.BlockSpec((k_block, batch, 1), idx),
             pl.BlockSpec((hidden_dim, four_h), lambda t: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((k_block, batch, hidden_dim), lambda t: (t, 0, 0)),
-            pl.BlockSpec((k_block, batch, hidden_dim), lambda t: (t, 0, 0)),
-            pl.BlockSpec((k_block, batch, four_h), lambda t: (t, 0, 0)),
+            pl.BlockSpec((k_block, batch, hidden_dim), idx),
+            pl.BlockSpec((k_block, batch, hidden_dim), idx),
+            pl.BlockSpec((k_block, batch, four_h), idx),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((seq_len, batch, hidden_dim), dtype),
@@ -249,13 +274,14 @@ def _forward_pallas_train(x_proj, w_hh, mask, interpret: bool = False):
 
 def _lstm_bwd_kernel(g_ref, cs_ref, cp_ref, dy_ref, mask_ref, wt_ref,
                      dpre_ref, dh_scratch, dc_scratch, *, hidden_dim: int,
-                     k_block: int):
-    """Reverse-grid adjoint: ONE matmul per step (dpre @ W_hh^T).
+                     k_block: int, scan_desc: bool = True):
+    """Adjoint recurrence: ONE matmul per step (dpre @ W_hh^T).
 
     Saved activated gates make the recompute matmul unnecessary; the weight
     gradient is a single big MXU matmul OUTSIDE the kernel (same
-    split-of-labor as the forward's input projection). Grid step t processes
-    time block G-1-t; within a block, steps run last-to-first."""
+    split-of-labor as the forward's input projection). The adjoint walks
+    time OPPOSITE to the forward scan: descending blocks for a forward-time
+    LSTM, ascending for the BiLSTM's reversed direction."""
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -264,7 +290,7 @@ def _lstm_bwd_kernel(g_ref, cs_ref, cp_ref, dy_ref, mask_ref, wt_ref,
         dc_scratch[:] = jnp.zeros_like(dc_scratch)
 
     def one_step(j, carry):
-        k = k_block - 1 - j
+        k = k_block - 1 - j if scan_desc else j
         dh, dc = carry
         i = g_ref[k, :, 0 * hidden_dim : 1 * hidden_dim].astype(jnp.float32)
         f = g_ref[k, :, 1 * hidden_dim : 2 * hidden_dim].astype(jnp.float32)
@@ -316,8 +342,9 @@ def _lstm_bwd_kernel(g_ref, cs_ref, cp_ref, dy_ref, mask_ref, wt_ref,
 
 
 def _backward_pallas(w_hh, mask, gates, cs, c_prev, d_hs,
-                     interpret: bool = False):
-    """Run the adjoint kernel; returns dpre (T, B, 4H)."""
+                     interpret: bool = False, reverse: bool = False):
+    """Run the adjoint kernel; returns dpre (T, B, 4H). ``reverse`` is the
+    FORWARD scan's direction; the adjoint walks the opposite way."""
     seq_len, batch, four_h = gates.shape
     hidden_dim = four_h // 4
     dtype = gates.dtype
@@ -328,21 +355,22 @@ def _backward_pallas(w_hh, mask, gates, cs, c_prev, d_hs,
         fixed_bytes=four_h * hidden_dim * es + 2 * batch * hidden_dim * 4,
     )
     grid = seq_len // k_block
+    scan_desc = not reverse
     kernel = functools.partial(_lstm_bwd_kernel, hidden_dim=hidden_dim,
-                               k_block=k_block)
-    rev = lambda t: (grid - 1 - t, 0, 0)
+                               k_block=k_block, scan_desc=scan_desc)
+    idx = _scan_specs(grid, scan_desc)
     dpre = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((k_block, batch, four_h), rev),
-            pl.BlockSpec((k_block, batch, hidden_dim), rev),
-            pl.BlockSpec((k_block, batch, hidden_dim), rev),
-            pl.BlockSpec((k_block, batch, hidden_dim), rev),
-            pl.BlockSpec((k_block, batch, 1), rev),
+            pl.BlockSpec((k_block, batch, four_h), idx),
+            pl.BlockSpec((k_block, batch, hidden_dim), idx),
+            pl.BlockSpec((k_block, batch, hidden_dim), idx),
+            pl.BlockSpec((k_block, batch, hidden_dim), idx),
+            pl.BlockSpec((k_block, batch, 1), idx),
             pl.BlockSpec((four_h, hidden_dim), lambda t: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((k_block, batch, four_h), rev),
+        out_specs=pl.BlockSpec((k_block, batch, four_h), idx),
         out_shape=jax.ShapeDtypeStruct((seq_len, batch, four_h), dtype),
         scratch_shapes=[
             pltpu.VMEM((batch, hidden_dim), jnp.float32),
@@ -358,14 +386,18 @@ def _backward_pallas(w_hh, mask, gates, cs, c_prev, d_hs,
 # custom VJP wrapper
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def pallas_lstm_scan(x_proj, w_hh, mask, interpret: bool = False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def pallas_lstm_scan(x_proj, w_hh, mask, interpret: bool = False,
+                     reverse: bool = False):
     """Differentiable fused LSTM recurrence.
 
     Args:
         x_proj: (T, B, 4H) precomputed input projections (+ bias).
         w_hh:   (H, 4H) recurrent weights.
         mask:   (T, B) float, 1.0 where t < length.
+        reverse: scan DESCENDING time (the BiLSTM backward direction) —
+            zero-copy via reversed index maps; inputs/outputs stay in
+            original time order.
     Returns:
         hs: (T, B, H) hidden states (carry value, NOT output-masked).
 
@@ -373,16 +405,17 @@ def pallas_lstm_scan(x_proj, w_hh, mask, interpret: bool = False):
     the forward streams out activated gates and the backward is the Pallas
     adjoint kernel (1 matmul/step) + one big outside matmul for dW_hh.
     """
-    hs, _ = _forward_pallas(x_proj, w_hh, mask, interpret)
+    hs, _ = _forward_pallas(x_proj, w_hh, mask, interpret, reverse=reverse)
     return hs
 
 
-def _fwd(x_proj, w_hh, mask, interpret):
-    hs, cs, gates = _forward_pallas_train(x_proj, w_hh, mask, interpret)
+def _fwd(x_proj, w_hh, mask, interpret, reverse):
+    hs, cs, gates = _forward_pallas_train(x_proj, w_hh, mask, interpret,
+                                          reverse=reverse)
     return hs, (w_hh, mask, hs, cs, gates)
 
 
-def _bwd(interpret, res, d_hs):
+def _bwd(interpret, reverse, res, d_hs):
     """Pallas adjoint kernel + outside weight-gradient matmul."""
     w_hh, mask, hs, cs, gates = res
     seq_len, batch, four_h = gates.shape
@@ -391,11 +424,15 @@ def _bwd(interpret, res, d_hs):
     prec = matmul_precision(dtype)
 
     zero_row = jnp.zeros((1, batch, hidden_dim), dtype)
-    h_prev = jnp.concatenate([zero_row, hs[:-1]], axis=0)
-    c_prev = jnp.concatenate([zero_row, cs[:-1]], axis=0)
+    if reverse:  # scan-previous of step t is t+1 in a descending-time scan
+        h_prev = jnp.concatenate([hs[1:], zero_row], axis=0)
+        c_prev = jnp.concatenate([cs[1:], zero_row], axis=0)
+    else:
+        h_prev = jnp.concatenate([zero_row, hs[:-1]], axis=0)
+        c_prev = jnp.concatenate([zero_row, cs[:-1]], axis=0)
 
     dpre = _backward_pallas(w_hh, mask, gates, cs, c_prev,
-                            d_hs.astype(dtype), interpret)
+                            d_hs.astype(dtype), interpret, reverse=reverse)
     # weight gradient as ONE MXU matmul over all (T*B) rows
     d_whh = jnp.einsum("tbh,tbk->hk", h_prev, dpre, precision=prec,
                        preferred_element_type=jnp.float32)
@@ -493,19 +530,13 @@ def lstm_apply_pallas(
     ) + params["b"].astype(dtype)
 
     valid = length_mask(lengths, seq_len, dtype=dtype)  # (B, T) 1/0
-    if reverse:
-        x_proj = jnp.flip(x_proj, axis=1)
-        valid_scan = jnp.flip(valid, axis=1)
-    else:
-        valid_scan = valid
-
+    # the reversed direction runs inside the kernel via reversed index maps —
+    # no jnp.flip copies on either side
     hs = pallas_lstm_scan(
         jnp.swapaxes(x_proj, 0, 1), params["w_hh"].astype(dtype),
-        jnp.swapaxes(valid_scan, 0, 1), interpret,
+        jnp.swapaxes(valid, 0, 1), interpret, reverse,
     )
     hs = jnp.swapaxes(hs, 0, 1)
-    if reverse:
-        hs = jnp.flip(hs, axis=1)
     return hs * valid[:, :, None]
 
 

@@ -24,8 +24,8 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(HERE, "BASELINE_MEASURED.json")
 
 # representative full-dataset shapes: train-clean-100 averages ~1250 frames
-# and ~180 chars; buckets round up.
-BATCH = 128
+# and ~180 chars; buckets round up. BENCH_BATCH overrides for exploration.
+BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 TIME_STEPS = 1536
 LABEL_LEN = 192
 N_FEATS = 15

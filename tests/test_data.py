@@ -208,3 +208,17 @@ def test_lazy_train_dev_dataset_matches_eager(tmp_path):
     xf, yt = lazy[1]
     np.testing.assert_array_equal(xf, eager[1][0])
     np.testing.assert_array_equal(yt, eager[1][1])
+
+
+def test_lm_dataset_reads_submission_csv(tmp_path):
+    """LmTrainDevDataset accepts infer.py's id,label submission CSVs."""
+    trans = tmp_path / "trans"
+    trans.mkdir()
+    np.save(trans / "a.npy", np.array(list("HI")))
+    np.save(trans / "b.npy", np.array(list("YO")))
+    csv_path = tmp_path / "preds.csv"
+    csv_path.write_text("id,label\n0,HA\n1,YO\n")
+    ds = LmTrainDevDataset(str(trans), str(csv_path), VOCAB_MAP)
+    p, t = ds[0]
+    assert p[0] == VOCAB_MAP["<sos>"] and p[-1] == EOS_IDX
+    assert [VOCAB_MAP["H"], VOCAB_MAP["A"]] == list(p[1:-1])

@@ -246,3 +246,26 @@ def test_nan_guard_is_noop_with_warm_optimizer_state():
                  if hasattr(a, "shape")]
     for a, b in zip(opt_before, opt_after):
         np.testing.assert_array_equal(a, b)
+
+
+def test_checkpoint_format_is_data_only_with_legacy_fallback(tmp_path):
+    """New checkpoints are npz (no code execution on load); legacy pickle
+    files still load behind a trust warning."""
+    import pickle
+    import warnings
+
+    p = str(tmp_path / "new.ckpt")
+    save_checkpoint(p, {"params": {"w": np.ones(3, np.float32)}, "epoch": 7})
+    with open(p, "rb") as fh:
+        assert fh.read(2) == b"PK"  # zip/npz magic, not a pickle opcode
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # a warning here would raise
+        loaded = load_checkpoint(p)
+    assert loaded["epoch"] == 7
+
+    legacy = str(tmp_path / "old.ckpt")
+    with open(legacy, "wb") as fh:
+        pickle.dump({"params": {"w": np.zeros(2)}, "epoch": 1}, fh)
+    with pytest.warns(UserWarning, match="legacy pickle"):
+        loaded = load_checkpoint(legacy)
+    assert loaded["epoch"] == 1

@@ -46,7 +46,8 @@ ARCHS = {
 
 
 def make_config(data_dir: str, exp_dir: str, epochs: int,
-                batch_size: int = 32, arch: str = "small") -> dict:
+                batch_size: int = 32, arch: str = "small",
+                lstm_impl: str = "scan") -> dict:
     a = ARCHS[arch]
     return {
         "TRN_FOLDER": os.path.join(data_dir, "train-clean-100"),
@@ -75,6 +76,7 @@ def make_config(data_dir: str, exp_dir: str, epochs: int,
             "configs": {
                 "listener_configs": {
                     "input_dim": 15, "lstm_layers": 1, "bidirectional": True,
+                    "lstm_impl": lstm_impl,
                     **a["listener"],
                 },
                 "speller_configs": {
@@ -104,11 +106,13 @@ def main():
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument("--target-ld", type=float, default=2.0)
     parser.add_argument("--arch", choices=list(ARCHS), default="small")
+    parser.add_argument("--lstm-impl", choices=["scan", "pallas"],
+                        default="scan")
     args = parser.parse_args()
 
     exp_dir = args.exp_dir or tempfile.mkdtemp(prefix="synth-exp-")
     cfg = make_config(args.data_dir, exp_dir, args.epochs, args.batch_size,
-                      args.arch)
+                      args.arch, args.lstm_impl)
     cfg_path = os.path.join(exp_dir, "synth-config.yml")
     os.makedirs(exp_dir, exist_ok=True)
     with open(cfg_path, "w") as fh:
