@@ -264,7 +264,10 @@ class Trainer:
         total_ppl = float(jnp.sum(jnp.stack(ppl_parts))) if ppl_parts else 0.0
         return total_loss / max(n_batches, 1), total_ppl / max(n_batches, 1), att_map
 
-    def evaluate_epoch(self):
+    def evaluate_epoch(self, compute_ld: bool = True):
+        """Free-running dev eval. ``compute_ld=False`` skips the host-side
+        Levenshtein pass (reference eval_ld_interval intent — the gate is
+        commented out there, src/train.py:242; honored here)."""
         total_loss = total_ppl = total_ld = 0.0
         n_batches = 0
         for batch, y, ly, indices in self._prepared_batches(
@@ -273,15 +276,22 @@ class Trainer:
             metrics, pred_ids = self.eval_step(self.state.params, *batch)
             total_loss += float(metrics["loss"])
             total_ppl += float(metrics["ppl"])
-            if self.beam_decode is not None:
-                pred_ids = self.beam_decode(self.state.params, batch[0], batch[1])
-            real = indices >= 0
-            total_ld += batch_levenshtein(
-                np.asarray(pred_ids)[real], y[real], ly[real],
-                self.sos_idx, self.eos_idx,
-            )
+            if compute_ld:
+                if self.beam_decode is not None:
+                    pred_ids = self.beam_decode(self.state.params,
+                                                batch[0], batch[1])
+                real = indices >= 0
+                total_ld += batch_levenshtein(
+                    np.asarray(pred_ids)[real], y[real], ly[real],
+                    self.sos_idx, self.eos_idx,
+                )
             n_batches += 1
         n = max(n_batches, 1)
+        if not compute_ld:
+            # reuse the last LD (same convention as the reference's
+            # dev_ld <= 0 fallback, src/train.py:283-285)
+            last = self.dev_history["ld"][-1] if self.dev_history["ld"] else 0.0
+            return total_loss / n, total_ppl / n, last
         return total_loss / n, total_ppl / n, total_ld / n
 
     # ------------------------------------------------------------------
@@ -324,7 +334,10 @@ class Trainer:
             self.train_history["loss"].append(trn_loss)
             self.train_history["ppl"].append(trn_ppl)
 
-            dev_loss, dev_ppl, dev_ld = self.evaluate_epoch()
+            ld_interval = int(getattr(self.trncfgs, "eval_ld_interval", 1) or 1)
+            compute_ld = (ld_interval <= 1 or self.epoch % ld_interval == 0
+                          or not self.dev_history["ld"])
+            dev_loss, dev_ppl, dev_ld = self.evaluate_epoch(compute_ld)
             if dev_ld <= 0 and self.dev_history["ld"]:
                 dev_ld = self.dev_history["ld"][-1]  # src/train.py:283-285
             self.dev_history["loss"].append(dev_loss)

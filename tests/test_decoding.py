@@ -160,3 +160,32 @@ def test_length_alpha_uses_backtraced_lengths():
                          length_alpha=1.0)
     np.testing.assert_array_equal(out_a0, out_a1)
     assert np.all(out_a0 == CFG.speller.CHR_PAD_IDX)
+
+
+def test_exact_prune_does_not_change_selection():
+    """Dominance pruning (alpha=0) is exact: identical winners either way."""
+    from attention_based_e2e_asr_dnn_tpu.decoding.beam import _beam_decode_scan
+
+    params, enc_h, enc_l, _, _ = _encodings()
+    outs = {}
+    for prune in (False, True):
+        tokens, parents, _, scores, _ = _beam_decode_scan(
+            params["speller"], CFG.speller, enc_h, enc_l, 4, 12,
+            exact_prune=prune, max_len_factor=0.0)
+        from attention_based_e2e_asr_dnn_tpu.decoding.beam import backtrace_all
+        seqs = backtrace_all(np.asarray(tokens), np.asarray(parents))
+        best = np.asarray(scores).argmax(axis=1)
+        outs[prune] = seqs[:, np.arange(seqs.shape[1]), best]
+    np.testing.assert_array_equal(outs[False], outs[True])
+
+
+def test_max_len_factor_caps_rows():
+    """Per-row length cap: every beam output is EOS-padded past
+    max_len_factor * enc_l characters."""
+    params, enc_h, enc_l, _, _ = _encodings()
+    out = beam_search(params["speller"], CFG.speller, enc_h, enc_l,
+                      beam_size=3, max_len_factor=1.0)
+    for b in range(out.shape[0]):
+        cap = int(enc_l[b])
+        # after the cap, only PAD/<eos> may appear
+        assert np.all(out[b, cap + 1:] == CFG.speller.CHR_PAD_IDX)
