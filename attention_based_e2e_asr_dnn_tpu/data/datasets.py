@@ -152,12 +152,18 @@ class LmTrainDevDataset:
     def __init__(self, trans_dir: str, pred_path: str, label_to_idx: Dict[str, int]):
         sos = label_to_idx["<sos>"]
         eos = label_to_idx["<eos>"]
-        if pred_path.endswith(".csv"):
-            # submission-style CSV from infer.py (id,label in template order,
-            # which matches the sorted transcript order)
+        # content-based format detection: infer.py writes submission CSVs
+        # (id,label header) when a template exists and header-less plain
+        # lines otherwise — the filename extension says nothing reliable
+        with open(pred_path, "r") as fh:
+            first = fh.readline().strip().lower()
+        if first.replace(" ", "") == "id,label":
             import pandas as pd
 
-            lines = [str(p) for p in pd.read_csv(pred_path)["label"].tolist()]
+            # keep_default_na=False: an empty prediction must stay "" —
+            # NaN would str() to 'nan' and crash on the uppercase vocab
+            df = pd.read_csv(pred_path, keep_default_na=False)
+            lines = [str(p) for p in df["label"].tolist()]
         else:
             with open(pred_path, "r") as fh:
                 lines = [l.rstrip("\n") for l in fh]
@@ -184,7 +190,7 @@ class LmTestDataset:
 
         sos = label_to_idx["<sos>"]
         eos = label_to_idx["<eos>"]
-        df = pd.read_csv(pred_path)
+        df = pd.read_csv(pred_path, keep_default_na=False)
         self.predictions = [
             _wrap_ids(str(p), label_to_idx, sos, eos) for p in df["label"].tolist()
         ]

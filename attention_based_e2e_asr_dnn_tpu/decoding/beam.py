@@ -260,7 +260,8 @@ def beam_search(
 
 
 def make_las_beam_step(las_cfg, beam_size: int, length_alpha: float = 0.0,
-                       compute_dtype=jnp.float32, max_steps: int = 0):
+                       compute_dtype=jnp.float32, max_steps: int = 0,
+                       max_len_factor: float = 3.0):
     """Beam decode with the greedy-step interface: (params, x, lx) -> ids.
 
     Runs the Listener once (jitted) then the beam scan (jitted) over its
@@ -279,13 +280,15 @@ def make_las_beam_step(las_cfg, beam_size: int, length_alpha: float = 0.0,
         enc_h, enc_l = encode(params, x, lx)
         return beam_search(params["speller"], las_cfg.speller, enc_h, enc_l,
                            beam_size=beam_size, max_steps=steps,
-                           length_alpha=length_alpha)
+                           length_alpha=length_alpha,
+                           max_len_factor=max_len_factor)
 
     return step
 
 
 def make_rewriter_beam_step(lm_cfg, beam_size: int, length_alpha: float = 0.0,
-                            compute_dtype=jnp.float32, max_steps: int = 0):
+                            compute_dtype=jnp.float32, max_steps: int = 0,
+                            max_len_factor: float = 3.0):
     """Beam decode for the Rewriter: (params, x_ids, lx) -> ids."""
     from attention_based_e2e_asr_dnn_tpu.ops.lstm import locked_lstm_stack_apply
 
@@ -304,6 +307,7 @@ def make_rewriter_beam_step(lm_cfg, beam_size: int, length_alpha: float = 0.0,
         enc_h, enc_l = encode(params, x, lx)
         return beam_search(params["decoder"], sp_cfg, enc_h, enc_l,
                            beam_size=beam_size, max_steps=steps,
-                           length_alpha=length_alpha)
+                           length_alpha=length_alpha,
+                           max_len_factor=max_len_factor)
 
     return step

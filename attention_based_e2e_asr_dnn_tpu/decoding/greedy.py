@@ -88,7 +88,8 @@ def greedy_decode_early_stop(
     return final[-1]
 
 
-def make_las_greedy_step(las_cfg, compute_dtype=jnp.float32, max_steps: int = 0):
+def make_las_greedy_step(las_cfg, compute_dtype=jnp.float32, max_steps: int = 0,
+                         max_len_factor: float = 3.0):
     """Early-stop greedy decode with the (params, x, lx) -> ids interface."""
     from attention_based_e2e_asr_dnn_tpu.models.las import listener_apply
 
@@ -99,6 +100,7 @@ def make_las_greedy_step(las_cfg, compute_dtype=jnp.float32, max_steps: int = 0)
         enc_h, enc_l = listener_apply(params["listener"], las_cfg.listener,
                                       None, x, lx, train=False)
         return greedy_decode_early_stop(params["speller"], las_cfg.speller,
-                                        enc_h, enc_l, max_steps)
+                                        enc_h, enc_l, max_steps,
+                                        max_len_factor)
 
     return step

@@ -85,6 +85,8 @@ def infer_one_checkpoint(model_cfgs, infcfgs, checkpoint_filepath, batcher,
         return las_apply(p, las_cfg, rng, x, lx, dec_y, tf_rate, init_force, train)
 
     beam = int(getattr(infcfgs, "beam_size", 0) or 0)
+    # degenerate-repeat cap in chars per encoder frame; 0 disables
+    len_factor = float(getattr(infcfgs, "max_len_factor", 3.0))
     beam_step = None
     if beam > 1:
         from attention_based_e2e_asr_dnn_tpu.decoding.beam import make_las_beam_step
@@ -92,14 +94,15 @@ def infer_one_checkpoint(model_cfgs, infcfgs, checkpoint_filepath, batcher,
         beam_step = make_las_beam_step(
             las_cfg, beam_size=beam,
             length_alpha=float(getattr(infcfgs, "length_alpha", 0.0) or 0.0),
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, max_len_factor=len_factor,
         )
     elif bool(getattr(infcfgs, "early_stop", True)):
         # all-finished early exit: identical strings, ~3-4x faster than the
         # fixed CHR_MAX_STEPS scan on real utterances
         from attention_based_e2e_asr_dnn_tpu.decoding.greedy import make_las_greedy_step
 
-        beam_step = make_las_greedy_step(las_cfg, compute_dtype=compute_dtype)
+        beam_step = make_las_greedy_step(las_cfg, compute_dtype=compute_dtype,
+                                         max_len_factor=len_factor)
     preds = decode_dataset(params, apply_fn, batcher, vocab, sos_idx, eos_idx,
                            n_examples, compute_dtype=compute_dtype,
                            beam_step=beam_step)
@@ -138,8 +141,8 @@ def main(args):
         pad_time_multiple=int(getattr(infcfgs, "pad_time_multiple", 128)),
         has_labels=False,
     )
-    tag = ("trn" if "train" in infcfgs.SOME_FOLDER
-           else "dev" if "dev" in infcfgs.SOME_FOLDER else "tst")
+    base = os.path.basename(os.path.normpath(infcfgs.SOME_FOLDER))
+    tag = "trn" if "train" in base else "dev" if "dev" in base else "tst"
 
     template = os.path.join(infcfgs.SOME_FOLDER, "transcript", "random_submission.csv")
     if not os.path.exists(template):

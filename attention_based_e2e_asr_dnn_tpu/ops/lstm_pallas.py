@@ -612,18 +612,14 @@ def _bilstm_scan_kernel(xp_ref, mask_ref, w_ref, h_out_ref, c_out_ref,
 
 
 def _fused_k_block(seq_len: int, batch: int, four_h: int, hidden_dim: int,
-                   itemsize: int, budget_bytes: int = 13 * 1024 * 1024) -> int:
-    """Largest K in {8,4,2,1} whose streamed blocks (double-buffered) plus the
-    resident weights/carries fit the ~16MB/core VMEM budget."""
-    fixed = 2 * hidden_dim * four_h * itemsize  # weights, fetched once
-    fixed += 2 * 2 * batch * hidden_dim * 4     # fp32 carry scratch
-    for k in (8, 4, 2, 1):
-        if seq_len % k:
-            continue
-        per_k = 2 * batch * (four_h + 2 * hidden_dim + 1) * itemsize
-        if fixed + 2 * k * per_k <= budget_bytes:  # x2 = double buffering
-            return k
-    return 1
+                   itemsize: int) -> int:
+    """K for the direction-fused kernel: both directions' streams, shared
+    VMEM-fit search (_pick_k_block)."""
+    return _pick_k_block(
+        seq_len, 2 * (four_h + 2 * hidden_dim + 1), batch, itemsize,
+        fixed_bytes=2 * hidden_dim * four_h * itemsize
+        + 2 * 2 * batch * hidden_dim * 4,
+    )
 
 
 def _forward_pallas_bi(xp: jnp.ndarray, w_hh: jnp.ndarray, mask: jnp.ndarray,
@@ -720,16 +716,18 @@ def _bwd_bi(interpret, res, d_hs):
         dc_prev_valid = dc_total * f
         dh_prev = jnp.where(m > 0, dh_prev_valid, dh_total)
         dc_prev = jnp.where(m > 0, dc_prev_valid, dc_next)
-        dw = jnp.einsum("dbh,dbk->dhk", hp, dpre, precision=prec)
-        return (dh_prev, dc_prev), (dpre, dw)
+        return (dh_prev, dc_prev), dpre
 
     zeros = jnp.zeros((dirs, batch, hidden_dim), dtype)
-    (_, _), (d_xp, dws) = jax.lax.scan(
+    (_, _), d_xp = jax.lax.scan(
         step, (zeros, zeros),
         (xp, mask.astype(dtype), h_prev, c_prev, cs, d_hs),
         reverse=True,
     )
-    d_whh = dws.sum(axis=0)
+    # weight gradient as ONE outside matmul over all (T*B) rows per direction
+    # (a per-step (T, 2, H, 4H) scan output would be a multi-GB transient)
+    d_whh = jnp.einsum("tdbh,tdbk->dhk", h_prev, d_xp, precision=prec,
+                       preferred_element_type=jnp.float32)
     return d_xp, d_whh.astype(w_hh.dtype), None
 
 

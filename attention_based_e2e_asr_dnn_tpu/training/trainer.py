@@ -240,7 +240,7 @@ class Trainer:
             ppl_parts.append(metrics["ppl"])
             n_batches += 1
             self.batch += 1
-            if n_batches % sync_every == 0:
+            if sync_every > 0 and n_batches % sync_every == 0:
                 loss_parts = [jnp.sum(jnp.stack(loss_parts))]
                 ppl_parts = [jnp.sum(jnp.stack(ppl_parts))]
                 float(loss_parts[0])  # bounded in-flight work

@@ -148,7 +148,8 @@ def dev_ld_of_csv(pred_csv: str, trans_dir: str) -> float:
     import pandas as pd
     from attention_based_e2e_asr_dnn_tpu.utils.levenshtein import levenshtein
 
-    preds = [str(p) for p in pd.read_csv(pred_csv)["label"].tolist()]
+    preds = [str(p) for p in
+             pd.read_csv(pred_csv, keep_default_na=False)["label"].tolist()]
     golds = []
     for f in sorted(os.listdir(trans_dir)):
         if f.endswith(".npy"):
@@ -177,8 +178,8 @@ def run_infer(exp_dir: str, run_dir: str, some_folder: str, ckpt_path: str,
     ds = AsrTestDataset(std_dir=some_folder)
     batcher = BucketBatcher(ds, batch_size, pad_time_multiple=128,
                             has_labels=False)
-    tag = ("trn" if "train" in some_folder
-           else "dev" if "dev" in some_folder else "tst")
+    base = os.path.basename(os.path.normpath(some_folder))
+    tag = "trn" if "train" in base else "dev" if "dev" in base else "tst"
     template = os.path.join(some_folder, "transcript", "random_submission.csv")
     infer_mod.infer_one_checkpoint(
         model_cfgs=model_cfgs, infcfgs=infcfgs,
