@@ -220,3 +220,75 @@ def test_train_with_lazy_data(pipeline_dirs, tmp_path):
         trainer_lazy.train_history["loss"], trainer_eager.train_history["loss"],
         rtol=1e-6,
     )
+
+
+def test_lm_pipeline_roundtrip(pipeline_dirs, tmp_path):
+    """Rewriter chain through the real CLIs: lmtrain on (prediction, gold)
+    pairs, then lminfer corrects a prediction CSV (reference workflow:
+    src/lmtrain.py:258-375, src/lminfer.py:86-232)."""
+    from attention_based_e2e_asr_dnn_tpu import lminfer as lminfer_mod
+    from attention_based_e2e_asr_dnn_tpu import lmtrain as lmtrain_mod
+
+    root, words = pipeline_dirs
+    trn_trans = os.path.join(root, "train-clean-100", "transcript", "raw")
+    dev_trans = os.path.join(root, "dev-clean", "transcript", "raw")
+    # imperfect "LAS predictions": gold with one char corrupted
+    n = len([f for f in os.listdir(trn_trans) if f.endswith(".npy")])
+    preds = [(words[i % len(words)][:-1] + "Q") for i in range(n)]
+    trn_pred = str(tmp_path / "trn_pred.txt")
+    dev_pred = str(tmp_path / "dev_pred.txt")
+    for p in (trn_pred, dev_pred):
+        with open(p, "w") as fh:
+            fh.write("\n".join(preds) + "\n")
+
+    lm_exp = str(tmp_path / "lm_exp")
+    cfg = {
+        "TRN_FOLDER": trn_trans, "DEV_FOLDER": dev_trans,
+        "TST_FOLDER": os.path.join(root, "test-clean"),
+        "EXP_FOLDER": lm_exp,
+        "TRN_PRED_DIR": trn_pred, "DEV_PRED_DIR": dev_pred,
+        "seed": 3, "epochs": 2, "batch_size": 4, "accu_grad": 1,
+        "grad_norm": 5.0, "eval_ld_interval": 1, "tf_rate": 1.0,
+        "max_savings": 2, "init_force": False,
+        "compute_dtype": "float32", "pad_label_multiple": 8,
+        "wandb": {"use": False},
+        "finetune": {"use": False, "reinit_lr": False, "checkpoint": None},
+        "model": {"tag": "lm-e2e", "configs": {
+            "emb_dim": 16, "enc_lstm_layers": 1, "enc_lstm_hid_dim": 8,
+            "enc_dropouts": [0.0], "att_proj_dim": 8, "att_heads": 1,
+            "att_dropout": 0.0, "dec_lstm_layers": 2,
+            "dec_lstm_hid_dim": 16, "dec_lstm_out_dim": 8,
+            "dec_lstm_dropout": 0.0, "CHR_MAX_STEPS": 16}},
+        "optimizer": {"name": "adamw", "configs": {"lr": 0.003}},
+        "batch_scheduler": {"use": False, "configs": {}},
+        "epoch_scheduler": {"use": False},
+        "tf_rate_scheduler": {"use": False, "configs": {}},
+        "dropout_scheduler": {"use": False, "configs": {}},
+    }
+    cfg_path = str(tmp_path / "lm.yml")
+    with open(cfg_path, "w") as fh:
+        yaml.safe_dump(cfg, fh)
+    trainer = lmtrain_mod.main(lmtrain_mod.build_argparser().parse_args(["-c", cfg_path]))
+    assert len(trainer.train_history["loss"]) == 2
+    assert all(np.isfinite(v) for v in trainer.train_history["loss"])
+
+    lm_run = [os.path.join(lm_exp, d) for d in sorted(os.listdir(lm_exp))][0]
+    # prediction CSV to correct (submission format)
+    import pandas as pd
+
+    tst_csv = str(tmp_path / "tst_pred.csv")
+    pd.DataFrame({"id": list(range(n)), "label": preds}).to_csv(tst_csv, index=False)
+    li_cfg = {
+        "TST_DIR": tst_csv,
+        "TST_FOLDER": os.path.join(root, "test-clean"),
+        "exp_folder": lm_run, "use_greedy": True, "batch_size": 4,
+        "run_all": False, "epoch_num": None, "run_avg": True,
+    }
+    li_path = str(tmp_path / "lminfer.yml")
+    with open(li_path, "w") as fh:
+        yaml.safe_dump(li_cfg, fh)
+    lminfer_mod.main(lminfer_mod.build_argparser().parse_args(["-c", li_path]))
+    out = os.path.join(lm_run, "ckpts", "avg-all-pred.csv")
+    assert os.path.exists(out)
+    df = pd.read_csv(out, keep_default_na=False)
+    assert len(df) == n and list(df.columns) == ["id", "label"]
