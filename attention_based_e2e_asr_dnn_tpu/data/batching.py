@@ -175,3 +175,47 @@ class BucketBatcher:
 
     def __iter__(self) -> Iterator[Batch]:
         return self.epoch(0)
+
+
+class ThreadedPrefetcher:
+    """Background-thread batch prefetch — the role the reference gave
+    torch DataLoader worker processes (src/train.py:553,581 num_workers).
+
+    Wraps any batch iterator and assembles up to ``depth`` batches ahead on a
+    worker thread; the native C++ assembler and numpy IO release the GIL, so
+    file reads + padding overlap the main thread's dispatch work. Order is
+    preserved. Exceptions propagate to the consumer.
+    """
+
+    _DONE = object()
+
+    def __init__(self, batch_iter: Iterator[Batch], depth: int = 2):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+
+        def worker():
+            try:
+                for item in batch_iter:
+                    self._q.put(item)
+            except BaseException as exc:  # re-raised on the consumer side
+                self._q.put(exc)
+                return
+            self._q.put(self._DONE)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> Batch:
+        item = self._q.get()
+        if item is self._DONE:
+            self._thread.join()
+            raise StopIteration
+        if isinstance(item, BaseException):
+            self._thread.join()
+            raise item
+        return item

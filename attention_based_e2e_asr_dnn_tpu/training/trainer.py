@@ -173,10 +173,20 @@ class Trainer:
         """Prefetch pipeline: device_put batch n+1 while step n runs.
 
         jax.device_put is async, so enqueueing the next padded batch before
-        consuming the current one overlaps host->device transfer with compute
-        (the reference got this from DataLoader worker prefetch).
+        consuming the current one overlaps host->device transfer with compute;
+        a background thread assembles batches ahead of that (the reference
+        got both from DataLoader worker prefetch, src/train.py:553,581).
         """
         from collections import deque
+
+        from attention_based_e2e_asr_dnn_tpu.data.batching import (
+            ThreadedPrefetcher,
+        )
+
+        if int(getattr(self.trncfgs, "prefetch_depth", 2)) > 0:
+            batch_iter = ThreadedPrefetcher(
+                batch_iter, depth=int(getattr(self.trncfgs, "prefetch_depth", 2))
+            )
 
         queue = deque()
         for bt in batch_iter:

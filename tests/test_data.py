@@ -222,3 +222,23 @@ def test_lm_dataset_reads_submission_csv(tmp_path):
     p, t = ds[0]
     assert p[0] == VOCAB_MAP["<sos>"] and p[-1] == EOS_IDX
     assert [VOCAB_MAP["H"], VOCAB_MAP["A"]] == list(p[1:-1])
+
+
+def test_threaded_prefetcher_preserves_order_and_errors(tmp_path):
+    from attention_based_e2e_asr_dnn_tpu.data.batching import ThreadedPrefetcher
+
+    items = list(range(20))
+    out = list(ThreadedPrefetcher(iter(items), depth=3))
+    assert out == items
+
+    def boom():
+        yield 1
+        raise ValueError("assembler failed")
+
+    it = ThreadedPrefetcher(boom(), depth=2)
+    assert next(it) == 1
+    try:
+        next(it)
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "assembler failed" in str(e)
