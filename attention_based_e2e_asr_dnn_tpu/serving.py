@@ -1,0 +1,162 @@
+"""Serving API: load a trained experiment, transcribe feature batches.
+
+The reference's only inference surface is the CSV-oriented infer script
+(reference: src/infer.py:86-195). For production serving this module wraps
+the same machinery as a persistent, warm object:
+
+  * the experiment's ``config.json`` snapshot rebuilds the exact model and
+    the checkpoint loads from the data-only format (no code execution);
+  * inputs pad to static bucket shapes (``pad_time_multiple``) so each
+    (batch, time) bucket compiles ONCE and is reused — ``warmup()``
+    precompiles the buckets ahead of traffic;
+  * decoding is the early-stop greedy scan (or real beam search), fully
+    jitted: one dispatch per batch.
+
+    >>> t = Transcriber("experiments/260816-123456")
+    >>> t.warmup([512, 1024])
+    >>> t.transcribe([mfcc1, mfcc2, ...])   # list of (T_i, 15) arrays
+    ['A DOG RAN', ...]
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from attention_based_e2e_asr_dnn_tpu.config import load_config
+from attention_based_e2e_asr_dnn_tpu.data.batching import pad_to_multiple
+from attention_based_e2e_asr_dnn_tpu.models.las import las_config_from_dicts
+from attention_based_e2e_asr_dnn_tpu.training.checkpoints import (
+    average_checkpoints,
+    load_checkpoint,
+)
+from attention_based_e2e_asr_dnn_tpu.utils.levenshtein import ids_to_str
+
+
+def _best_checkpoint(ckpt_dir: str) -> str:
+    """Highest-epoch best-tag checkpoint (min-*.ckpt)."""
+    cands = sorted(f for f in os.listdir(ckpt_dir)
+                   if f.endswith(".ckpt") and f.startswith("min"))
+    if not cands:
+        raise FileNotFoundError(f"no min-*.ckpt checkpoints in {ckpt_dir}")
+    return os.path.join(ckpt_dir, cands[-1])
+
+
+class Transcriber:
+    """Persistent speech-to-text server over a trained LAS experiment.
+
+    Args:
+        exp_folder: experiment directory (holds config.json + ckpts/).
+        checkpoint: explicit checkpoint path; default = latest best tag.
+        average: uniform-average ALL best checkpoints instead (the
+            reference's run_avg mode, src/infer.py:158-172).
+        beam_size: >1 enables beam search; 0/1 = early-stop greedy.
+        batch_size: static decode batch (requests are chunked/padded to it).
+        pad_time_multiple: time bucket granularity (bounds compile count).
+    """
+
+    def __init__(
+        self,
+        exp_folder: str,
+        checkpoint: Optional[str] = None,
+        average: bool = False,
+        beam_size: int = 0,
+        length_alpha: float = 0.0,
+        max_len_factor: float = 3.0,
+        batch_size: int = 32,
+        pad_time_multiple: int = 128,
+    ):
+        from attention_based_e2e_asr_dnn_tpu.utils.compile_cache import (
+            enable_compilation_cache,
+        )
+
+        enable_compilation_cache()
+        snap = load_config(os.path.join(exp_folder, "config.json"))
+        self.cfg = las_config_from_dicts(
+            snap.model.configs["listener_configs"],
+            snap.model.configs["speller_configs"],
+        )
+        self.vocab = snap.VOCAB
+        self.sos_idx = snap.SOS_IDX
+        self.eos_idx = snap.EOS_IDX
+        self.compute_dtype = jnp.dtype(
+            getattr(snap, "compute_dtype", "float32"))
+        self.batch_size = batch_size
+        self.pad_time_multiple = pad_time_multiple
+        self.n_feats = self.cfg.listener.input_dim
+
+        ckpt_dir = os.path.join(exp_folder, "ckpts")
+        if average:
+            paths = sorted(
+                os.path.join(ckpt_dir, f) for f in os.listdir(ckpt_dir)
+                if f.endswith(".ckpt") and f.startswith("min")
+            )
+            payload = average_checkpoints(paths)
+        else:
+            payload = load_checkpoint(checkpoint or _best_checkpoint(ckpt_dir))
+        self.params = jax.tree.map(jnp.asarray, payload["params"])
+
+        if beam_size > 1:
+            from attention_based_e2e_asr_dnn_tpu.decoding.beam import (
+                make_las_beam_step,
+            )
+
+            self._step = make_las_beam_step(
+                self.cfg, beam_size=beam_size, length_alpha=length_alpha,
+                compute_dtype=self.compute_dtype,
+                max_len_factor=max_len_factor,
+            )
+        else:
+            from attention_based_e2e_asr_dnn_tpu.decoding.greedy import (
+                make_las_greedy_step,
+            )
+
+            self._step = make_las_greedy_step(
+                self.cfg, compute_dtype=self.compute_dtype,
+                max_len_factor=max_len_factor,
+            )
+
+    # ------------------------------------------------------------------
+    def warmup(self, time_buckets: Sequence[int] = (512,)) -> None:
+        """Precompile the decode program for the given time buckets."""
+        for t in time_buckets:
+            t_pad = pad_to_multiple(t, self.pad_time_multiple)
+            x = np.zeros((self.batch_size, t_pad, self.n_feats), np.float32)
+            lx = np.full((self.batch_size,), t_pad, np.int32)
+            np.asarray(self._step(self.params, jnp.asarray(x), jnp.asarray(lx)))
+
+    def transcribe(self, features: Sequence[np.ndarray]) -> List[str]:
+        """Transcribe variable-length (T_i, n_feats) float feature arrays.
+
+        Inputs are length-sorted into static-shape padded batches (tight
+        buckets, original order restored) — the same policy as training.
+        """
+        n = len(features)
+        order = sorted(range(n), key=lambda i: len(features[i]), reverse=True)
+        out: List[Optional[str]] = [None] * n
+        for start in range(0, n, self.batch_size):
+            chunk = order[start : start + self.batch_size]
+            rows = list(chunk)
+            while len(rows) < self.batch_size:  # repeat-pad the last batch
+                rows.append(rows[-1])
+            t_pad = pad_to_multiple(
+                max(len(features[i]) for i in chunk), self.pad_time_multiple
+            )
+            x = np.zeros((self.batch_size, t_pad, self.n_feats), np.float32)
+            lx = np.zeros((self.batch_size,), np.int32)
+            for r, i in enumerate(rows):
+                f = np.asarray(features[i], np.float32)[:, : self.n_feats]
+                x[r, : len(f)] = f
+                lx[r] = len(f)
+            ids = np.asarray(self._step(self.params, jnp.asarray(x),
+                                        jnp.asarray(lx)))
+            for r, i in enumerate(chunk):
+                out[i] = ids_to_str(ids[r], self.vocab, self.sos_idx,
+                                    self.eos_idx)
+        assert all(s is not None for s in out)
+        return out  # type: ignore[return-value]

@@ -292,3 +292,50 @@ def test_lm_pipeline_roundtrip(pipeline_dirs, tmp_path):
     assert os.path.exists(out)
     df = pd.read_csv(out, keep_default_na=False)
     assert len(df) == n and list(df.columns) == ["id", "label"]
+
+
+def test_serving_transcriber_matches_infer(pipeline_dirs, tmp_path):
+    """The serving API loads an experiment and produces the same strings as
+    the infer CLI machinery (and preserves request order)."""
+    from attention_based_e2e_asr_dnn_tpu import train as train_mod
+    from attention_based_e2e_asr_dnn_tpu.serving import Transcriber
+
+    root, words = pipeline_dirs
+    exp_dir = str(tmp_path / "exp_srv")
+    cfg_path = str(tmp_path / "cfg_srv.yml")
+    with open(cfg_path, "w") as fh:
+        yaml.safe_dump(_train_config(root, exp_dir), fh)
+    train_mod.main(train_mod.build_argparser().parse_args(["-c", cfg_path]))
+    run_dir = [os.path.join(exp_dir, r) for r in os.listdir(exp_dir)
+               if r != "milestones"][0]
+
+    t = Transcriber(run_dir, batch_size=4, pad_time_multiple=16)
+    t.warmup([32])
+    mfcc_dir = os.path.join(root, "test-clean", "mfcc")
+    feats = [np.load(os.path.join(mfcc_dir, f))
+             for f in sorted(os.listdir(mfcc_dir)) if f.endswith(".npy")]
+    preds = t.transcribe(feats)
+    assert len(preds) == len(feats)
+    assert all(isinstance(p, str) for p in preds)
+
+    # must agree with the infer-CLI decode of the same checkpoint
+    from attention_based_e2e_asr_dnn_tpu import infer as infer_mod
+    from attention_based_e2e_asr_dnn_tpu.config import Config, load_config
+    from attention_based_e2e_asr_dnn_tpu.data.batching import BucketBatcher
+    from attention_based_e2e_asr_dnn_tpu.data.datasets import AsrTestDataset
+
+    model_cfgs = load_config(os.path.join(run_dir, "config.json"))
+    infcfgs = Config({"SOME_FOLDER": os.path.join(root, "test-clean"),
+                      "exp_folder": run_dir, "use_greedy": True,
+                      "beam_size": 0, "batch_size": 4, "run_all": False,
+                      "epoch_num": None, "run_avg": False})
+    ds = AsrTestDataset(std_dir=os.path.join(root, "test-clean"))
+    batcher = BucketBatcher(ds, 4, pad_time_multiple=16, has_labels=False)
+    from attention_based_e2e_asr_dnn_tpu.serving import _best_checkpoint
+    cli_preds = infer_mod.infer_one_checkpoint(
+        model_cfgs=model_cfgs, infcfgs=infcfgs,
+        checkpoint_filepath=_best_checkpoint(os.path.join(run_dir, "ckpts")),
+        batcher=batcher, n_examples=len(ds), tag="tst",
+        template_filepath=None, vocab=model_cfgs.VOCAB,
+        sos_idx=model_cfgs.SOS_IDX, eos_idx=model_cfgs.EOS_IDX)
+    assert preds == cli_preds
