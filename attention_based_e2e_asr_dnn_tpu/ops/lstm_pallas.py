@@ -87,7 +87,10 @@ def _lstm_scan_kernel(xp_ref, mask_ref, w_ref, h_out_ref, c_out_ref,
         m = mask_ref[k].astype(jnp.float32)  # (B, 1) 1.0 where valid
         h_next = m * h_new + (1.0 - m) * h
         c_next = m * c_new + (1.0 - m) * c
-        h_out_ref[k] = h_next.astype(h_out_ref.dtype)
+        # h outputs are ZEROED at padded positions in-kernel (m * h_next ==
+        # m * h_new) — saves the caller's full-array mask multiply + its
+        # adjoint; cs keeps carry semantics (the adjoint reads true c_t)
+        h_out_ref[k] = (m * h_new).astype(h_out_ref.dtype)
         c_out_ref[k] = c_next.astype(c_out_ref.dtype)
         return h_next, c_next
 
@@ -194,7 +197,7 @@ def _lstm_scan_train_kernel(xp_ref, mask_ref, w_ref, h_out_ref, c_out_ref,
         m = mask_ref[k].astype(jnp.float32)
         h_next = m * h_new + (1.0 - m) * h
         c_next = m * c_new + (1.0 - m) * c
-        h_out_ref[k] = h_next.astype(h_out_ref.dtype)
+        h_out_ref[k] = (m * h_new).astype(h_out_ref.dtype)  # zeroed pads
         c_out_ref[k] = c_next.astype(c_out_ref.dtype)
         gd = g_out_ref.dtype
         g_out_ref[k, :, 0 * hidden_dim : 1 * hidden_dim] = i.astype(gd)
@@ -301,7 +304,9 @@ def _lstm_bwd_kernel(g_ref, cs_ref, cp_ref, dy_ref, mask_ref, wt_ref,
         m = mask_ref[k].astype(jnp.float32)  # (B, 1)
         tanh_ct = jnp.tanh(c_t)
 
-        dh_total = dy_ref[k].astype(jnp.float32) + dh
+        # upstream grads at padded positions are w.r.t. in-kernel-zeroed
+        # outputs -> masked out here (the wrapper no longer multiplies)
+        dh_total = dy_ref[k].astype(jnp.float32) * m + dh
         dc_total = dc + dh_total * o * (1.0 - tanh_ct * tanh_ct)
         dpre_i = dc_total * g * i * (1.0 - i) * m
         dpre_f = dc_total * cp * f * (1.0 - f) * m
@@ -399,7 +404,7 @@ def pallas_lstm_scan(x_proj, w_hh, mask, interpret: bool = False,
             zero-copy via reversed index maps; inputs/outputs stay in
             original time order.
     Returns:
-        hs: (T, B, H) hidden states (carry value, NOT output-masked).
+        hs: (T, B, H) hidden states, ZERO at padded positions.
 
     Inference (undifferentiated) runs the lean no-gates kernel; under grad,
     the forward streams out activated gates and the backward is the Pallas
@@ -531,13 +536,13 @@ def lstm_apply_pallas(
 
     valid = length_mask(lengths, seq_len, dtype=dtype)  # (B, T) 1/0
     # the reversed direction runs inside the kernel via reversed index maps —
-    # no jnp.flip copies on either side
+    # no jnp.flip copies on either side; padded positions come back zeroed
+    # from the kernel, so no outer mask multiply either
     hs = pallas_lstm_scan(
         jnp.swapaxes(x_proj, 0, 1), params["w_hh"].astype(dtype),
         jnp.swapaxes(valid, 0, 1), interpret, reverse,
     )
-    hs = jnp.swapaxes(hs, 0, 1)
-    return hs * valid[:, :, None]
+    return jnp.swapaxes(hs, 0, 1)
 
 
 # ---------------------------------------------------------------------------

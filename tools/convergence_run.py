@@ -33,6 +33,15 @@ ARCHS = {
                     "dec_lstm_hid_dim": 256, "dec_lstm_out_dim": 128,
                     "dec_lstm_dropout": 0.1},
     },
+    # multi-head variant (exercises the heads>1 attention path end-to-end)
+    "multihead": {
+        "listener": {"uniform_hid_dim": 256, "plstm_layers": 2,
+                     "init_dropout": 0.1, "mid_dropout": 0.1,
+                     "final_dropout": 0.1},
+        "speller": {"att_proj_dim": 128, "att_heads": 4, "dec_emb_dim": 256,
+                    "dec_lstm_hid_dim": 256, "dec_lstm_out_dim": 128,
+                    "dec_lstm_dropout": 0.1},
+    },
     # flagship base-LAS (reference config/sample-attention.yml:45-68)
     "base": {
         "listener": {"uniform_hid_dim": 512, "plstm_layers": 3,
