@@ -88,6 +88,32 @@ def greedy_decode_early_stop(
     return final[-1]
 
 
+def make_rewriter_greedy_step(lm_cfg, compute_dtype=jnp.float32,
+                              max_steps: int = 0,
+                              max_len_factor: float = 3.0):
+    """Early-stop greedy decode for the Rewriter: (params, x_ids, lx) -> ids.
+
+    The Rewriter's decoder IS the speller machinery (models/rewriter.py), so
+    the same early-exit scan runs over its BiLSTM-encoded prediction strings
+    (vs. the fixed CHR_MAX_STEPS free-run the plain infer step uses)."""
+    from attention_based_e2e_asr_dnn_tpu.ops.lstm import locked_lstm_stack_apply
+
+    sp_cfg = lm_cfg.speller_config()
+
+    @jax.jit
+    def step(params, x, lx):
+        emb = params["decoder"]["char_emb"].astype(compute_dtype)
+        enc_h, enc_l = locked_lstm_stack_apply(
+            params["encoder"], None, emb[x], lx,
+            init_dropout=0.0, mid_dropout=0.0, bidirectional=True, train=False,
+        )
+        return greedy_decode_early_stop(params["decoder"], sp_cfg,
+                                        enc_h, enc_l, max_steps,
+                                        max_len_factor)
+
+    return step
+
+
 def make_las_greedy_step(las_cfg, compute_dtype=jnp.float32, max_steps: int = 0,
                          max_len_factor: float = 3.0):
     """Early-stop greedy decode with the (params, x, lx) -> ids interface."""

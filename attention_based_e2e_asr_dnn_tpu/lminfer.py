@@ -45,7 +45,19 @@ def infer_one_checkpoint(model_cfgs, tstcfgs, checkpoint_filepath, batcher,
         return rewriter_apply(p, lm_cfg, rng, x, lx, dec_y, tf_rate,
                               init_force, train)
 
-    step = make_infer_step(apply_fn)
+    if bool(getattr(tstcfgs, "early_stop", True)):
+        # all-finished early exit + length cap (vs the fixed CHR_MAX_STEPS
+        # free-run) — identical strings, much shorter scans on short text
+        from attention_based_e2e_asr_dnn_tpu.decoding.greedy import (
+            make_rewriter_greedy_step,
+        )
+
+        step = make_rewriter_greedy_step(
+            lm_cfg,
+            max_len_factor=float(getattr(tstcfgs, "max_len_factor", 3.0)),
+        )
+    else:
+        step = make_infer_step(apply_fn)
     preds = [None] * n_examples
     for bt in batcher.epoch(0):
         ids = np.asarray(step(params, bt.x, bt.lx.astype(np.int32)))

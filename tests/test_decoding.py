@@ -189,3 +189,37 @@ def test_max_len_factor_caps_rows():
         cap = int(enc_l[b])
         # after the cap, only PAD/<eos> may appear
         assert np.all(out[b, cap + 1:] == CFG.speller.CHR_PAD_IDX)
+
+
+def test_rewriter_greedy_early_stop_matches_free_run():
+    """Early-stop Rewriter decode == argmax of the full free-running scan
+    (up to each row's first <eos> / length cap)."""
+    from attention_based_e2e_asr_dnn_tpu.decoding.greedy import (
+        make_rewriter_greedy_step,
+    )
+    from attention_based_e2e_asr_dnn_tpu.models.rewriter import (
+        RewriterConfig,
+        rewriter_apply,
+        rewriter_init,
+    )
+    from attention_based_e2e_asr_dnn_tpu.utils.levenshtein import ids_to_str
+    from attention_based_e2e_asr_dnn_tpu.constants import VOCAB
+
+    cfg = RewriterConfig(vocab_size=30, emb_dim=16, enc_lstm_layers=1,
+                         enc_lstm_hid_dim=8, enc_dropouts=(0.0,),
+                         att_proj_dim=8, att_heads=1, dec_lstm_hid_dim=16,
+                         dec_lstm_out_dim=8, dec_lstm_dropout=0.0,
+                         CHR_MAX_STEPS=12)
+    params = rewriter_init(jax.random.key(0), cfg)
+    x = jax.random.randint(jax.random.key(1), (3, 9), 0, 30)
+    lx = jnp.array([9, 6, 4])
+
+    free = np.asarray(jnp.argmax(
+        rewriter_apply(params, cfg, None, x, lx, train=False).logits, axis=-1))
+    early = np.asarray(make_rewriter_greedy_step(cfg)(params, x, lx))
+    for b in range(3):
+        s_free = ids_to_str(free[b], VOCAB, 0, 29)
+        s_early = ids_to_str(early[b], VOCAB, 0, 29)
+        # identical up to the length cap (3x input ids > 12 steps here, so
+        # the cap is inert and the strings must match exactly)
+        assert s_early == s_free
