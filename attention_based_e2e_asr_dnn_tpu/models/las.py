@@ -85,6 +85,11 @@ class SpellerConfig:
     CHR_SOS_IDX: int = 0
     USE_GREEDY: bool = True
     legacy_scale: bool = False
+    # TPU execution knob (not part of the reference surface): "pallas" runs
+    # the training decode as the fused ops/speller_pallas.py kernel (K/V and
+    # weights VMEM-resident across all steps); falls back to the scan for
+    # eval, init_force, and unblockable shapes.
+    decoder_impl: str = "scan"
 
     def __post_init__(self):
         # Weight tying imposes dec_emb_dim == 2 * att_proj_dim: the classifier
@@ -213,6 +218,21 @@ def speller_apply(
     CHR_MAX_STEPS steps (reference: src/models.py:300-386).
     """
     batch, enc_max_len, _ = enc_h.shape
+    if (
+        cfg.decoder_impl == "pallas"
+        and train
+        and dec_y is not None
+        and not init_force
+    ):
+        from attention_based_e2e_asr_dnn_tpu.ops.speller_pallas import (
+            fused_decode_available,
+            speller_apply_fused,
+        )
+
+        if fused_decode_available(cfg, batch, enc_max_len):
+            return speller_apply_fused(
+                params, cfg, rng, enc_h, enc_l, dec_y, tf_rate, train
+            )
     dtype = enc_h.dtype
     emb = params["char_emb"].astype(dtype)
 

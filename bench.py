@@ -60,7 +60,7 @@ def measure_jax() -> float:
              final_dropout=0.35, lstm_impl="pallas"),
         dict(att_proj_dim=256, att_heads=1, att_dropout=0.0, dec_emb_dim=512,
              dec_emb_dropout=0.0, dec_lstm_hid_dim=512, dec_lstm_out_dim=256,
-             dec_lstm_dropout=0.3, CHR_MAX_STEPS=600),
+             dec_lstm_dropout=0.3, CHR_MAX_STEPS=600, decoder_impl="pallas"),
     )
     params = las_init(jax.random.key(0), cfg)
     tx = build_optimizer("adamw", {"lr": 1e-3, "weight_decay": 5e-6,

@@ -1,0 +1,156 @@
+"""Equivalence tests: fused Pallas decoder kernel vs the scan speller.
+
+The fused kernel (ops/speller_pallas.py) must reproduce the scan decode
+(models/las.py::speller_apply, reference loop src/models.py:352-381) exactly:
+same teacher-forcing coins, same dropout masks (drawn from the same RNG
+stream), same greedy argmax feedback — forward AND backward (custom VJP with
+a Pallas adjoint kernel). Runs in interpret mode on the CPU test backend.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+
+from attention_based_e2e_asr_dnn_tpu.models.las import (
+    SpellerConfig,
+    speller_apply,
+    speller_init,
+)
+from attention_based_e2e_asr_dnn_tpu.ops.speller_pallas import (
+    fused_decode_available,
+    speller_apply_fused,
+)
+from attention_based_e2e_asr_dnn_tpu.training.loss import masked_ce_loss
+
+
+def _setup(heads=1, drop=0.0, batch=3, enc_t=11, label=6):
+    cfg = SpellerConfig(
+        enc_out_dim=24, att_proj_dim=16, att_heads=heads, dec_vocab_size=30,
+        dec_emb_dim=32, dec_lstm_hid_dim=20, dec_lstm_out_dim=12,
+        dec_lstm_dropout=drop, CHR_MAX_STEPS=40,
+    )
+    params = speller_init(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    enc_h = jnp.asarray(rng.normal(size=(batch, enc_t, 24)).astype(np.float32))
+    enc_l = jnp.asarray(
+        rng.integers(enc_t // 2, enc_t + 1, size=(batch,)).astype(np.int32))
+    dec_y = jnp.asarray(rng.integers(0, 30, size=(batch, label)).astype(np.int32))
+    ly = jnp.asarray(
+        rng.integers(1, label + 1, size=(batch,)).astype(np.int32))
+    return cfg, params, enc_h, enc_l, dec_y, ly
+
+
+@pytest.mark.parametrize("tf_rate", [1.0, 0.55, 0.0])
+@pytest.mark.parametrize("heads", [1, 2])
+def test_fused_forward_matches_scan(tf_rate, heads):
+    cfg, params, enc_h, enc_l, dec_y, _ = _setup(heads=heads)
+    key = jax.random.key(42)
+    out_scan = speller_apply(params, cfg, key, enc_h, enc_l, dec_y,
+                             tf_rate=tf_rate, train=True)
+    out_fused = speller_apply_fused(params, cfg, key, enc_h, enc_l, dec_y,
+                                    tf_rate=tf_rate, train=True,
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(out_fused.logits),
+                               np.asarray(out_scan.logits), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_fused.att_map),
+                               np.asarray(out_scan.att_map), atol=2e-6)
+
+
+@pytest.mark.parametrize("drop", [0.0, 0.3])
+def test_fused_grads_match_scan(drop):
+    cfg, params, enc_h, enc_l, dec_y, ly = _setup(heads=2, drop=drop)
+    key = jax.random.key(17)
+
+    def loss_scan(p, eh):
+        out = speller_apply(p, cfg, key, eh, enc_l, dec_y, tf_rate=0.7,
+                            train=True)
+        return masked_ce_loss(out.logits, dec_y, ly)[0]
+
+    def loss_fused(p, eh):
+        out = speller_apply_fused(p, cfg, key, eh, enc_l, dec_y, tf_rate=0.7,
+                                  train=True, interpret=True)
+        return masked_ce_loss(out.logits, dec_y, ly)[0]
+
+    g1, ge1 = jax.grad(loss_scan, argnums=(0, 1))(params, enc_h)
+    g2, ge2 = jax.grad(loss_fused, argnums=(0, 1))(params, enc_h)
+    f1, _ = jax.flatten_util.ravel_pytree(g1)
+    f2, _ = jax.flatten_util.ravel_pytree(g2)
+    assert float(jnp.linalg.norm(f1)) > 0.1  # nontrivial gradients
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(ge2), np.asarray(ge1), atol=5e-6)
+
+
+def test_fused_att_map_cotangent_path():
+    """Upstream gradients on the recorded attention weights (the att_map
+    output) flow through the adjoint's d_wgts inputs."""
+    cfg, params, enc_h, enc_l, dec_y, ly = _setup(heads=1)
+    key = jax.random.key(3)
+
+    def loss_scan(p):
+        out = speller_apply(p, cfg, key, enc_h, enc_l, dec_y, tf_rate=1.0,
+                            train=True)
+        return (masked_ce_loss(out.logits, dec_y, ly)[0]
+                + 0.1 * jnp.sum(out.att_map ** 2))
+
+    def loss_fused(p):
+        out = speller_apply_fused(p, cfg, key, enc_h, enc_l, dec_y,
+                                  tf_rate=1.0, train=True, interpret=True)
+        return (masked_ce_loss(out.logits, dec_y, ly)[0]
+                + 0.1 * jnp.sum(out.att_map ** 2))
+
+    f1, _ = jax.flatten_util.ravel_pytree(jax.grad(loss_scan)(params))
+    f2, _ = jax.flatten_util.ravel_pytree(jax.grad(loss_fused)(params))
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1), atol=5e-6)
+
+
+def test_speller_apply_routes_to_fused():
+    """decoder_impl='pallas' routes the training decode through the kernel
+    (interpret mode on CPU) and falls back for eval / init_force."""
+    cfg, params, enc_h, enc_l, dec_y, _ = _setup()
+    cfg_pallas = SpellerConfig(
+        **{**cfg.__dict__, "decoder_impl": "pallas"})
+    key = jax.random.key(5)
+    out_scan = speller_apply(params, cfg, key, enc_h, enc_l, dec_y,
+                             tf_rate=0.8, train=True)
+    out_routed = speller_apply(params, cfg_pallas, key, enc_h, enc_l, dec_y,
+                               tf_rate=0.8, train=True)
+    np.testing.assert_allclose(np.asarray(out_routed.logits),
+                               np.asarray(out_scan.logits), atol=2e-5)
+    # eval decode (free-running) must take the scan path and agree exactly
+    ev_scan = speller_apply(params, cfg, None, enc_h, enc_l, None, train=False)
+    ev_routed = speller_apply(params, cfg_pallas, None, enc_h, enc_l, None,
+                              train=False)
+    np.testing.assert_array_equal(np.asarray(ev_routed.logits),
+                                  np.asarray(ev_scan.logits))
+    # init_force falls back (the kernel does not implement the prior)
+    if_scan = speller_apply(params, cfg, key, enc_h, enc_l, dec_y,
+                            tf_rate=0.8, init_force=True, train=True)
+    if_routed = speller_apply(params, cfg_pallas, key, enc_h, enc_l, dec_y,
+                              tf_rate=0.8, init_force=True, train=True)
+    np.testing.assert_array_equal(np.asarray(if_routed.logits),
+                                  np.asarray(if_scan.logits))
+
+
+def test_fused_available_gate():
+    cfg, *_ = _setup()
+    # interpret mode: anything goes
+    assert fused_decode_available(cfg, batch=3, enc_len=11, interpret=True)
+    # compiled mode: the tiny test shapes are not blockable
+    assert not fused_decode_available(cfg, batch=3, enc_len=11,
+                                      interpret=False)
+    big = SpellerConfig(
+        enc_out_dim=1024, att_proj_dim=256, att_heads=1, dec_vocab_size=30,
+        dec_emb_dim=512, dec_lstm_hid_dim=512, dec_lstm_out_dim=256,
+        CHR_MAX_STEPS=600)
+    assert fused_decode_available(big, batch=128, enc_len=192,
+                                  interpret=False)
+    # 4 heads -> 64-wide head slices are not lane-aligned -> fallback
+    four = SpellerConfig(
+        enc_out_dim=1024, att_proj_dim=256, att_heads=4, dec_vocab_size=30,
+        dec_emb_dim=512, dec_lstm_hid_dim=512, dec_lstm_out_dim=256,
+        CHR_MAX_STEPS=600)
+    assert not fused_decode_available(four, batch=128, enc_len=192,
+                                      interpret=False)
