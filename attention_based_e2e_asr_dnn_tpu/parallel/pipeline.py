@@ -1,0 +1,215 @@
+"""Pipeline parallelism: the LAS graph staged across devices.
+
+The reference has no distributed support at all (SURVEY.md §2.9); DP, TP and
+sequence parallelism live in parallel/mesh.py / parallel/sequence.py. This
+module adds the remaining axis: a 2-stage GPipe-style pipeline that puts the
+**Listener on one device (group) and the Speller on another**, streaming
+microbatches through both.
+
+TPU-native design choice: instead of translating send/recv collectives, the
+pipeline is expressed as per-stage jitted programs whose inputs live on their
+stage's device — XLA's async dispatch + ICI transfers ARE the pipeline. While
+the Speller (stage 1) processes microbatch i, the Listener (stage 0) is
+already computing microbatch i+1; each device's execution queue is serial,
+cross-device dependencies are enforced by the runtime.
+
+Backward uses activation recomputation on stage 0 (the standard 1F1B remat
+trade): the listener backward re-runs its forward instead of shipping
+residuals across the wire — the same FLOPs-for-memory trade as
+``jax.checkpoint``, which also bounds pipeline activation memory to one
+microbatch.
+
+Gradients never cross stages (each stage owns disjoint parameters), so the
+optimizer update runs per-stage on the stage's own device; only the
+(B_mb, T/8, 2H) encoder activations and their cotangents cross the wire.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from attention_based_e2e_asr_dnn_tpu.models.las import (
+    LASConfig,
+    listener_apply,
+    speller_apply,
+)
+from attention_based_e2e_asr_dnn_tpu.training.loss import masked_ce_loss
+
+
+class PipelineState(NamedTuple):
+    """Per-stage params + optimizer state, pinned to their stage's device."""
+
+    params_listener: dict
+    params_speller: dict
+    opt_listener: tuple
+    opt_speller: tuple
+    rng: jax.Array
+
+
+def place_pipeline_state(state: PipelineState, devices: Sequence) -> PipelineState:
+    """Pin stage 0 (listener) to devices[0], stage 1 (speller) to devices[1]."""
+    d0, d1 = devices[0], devices[1]
+    return PipelineState(
+        params_listener=jax.device_put(state.params_listener, d0),
+        params_speller=jax.device_put(state.params_speller, d1),
+        opt_listener=jax.device_put(state.opt_listener, d0),
+        opt_speller=jax.device_put(state.opt_speller, d1),
+        rng=jax.device_put(state.rng, d0),
+    )
+
+
+def make_pipeline_train_step(
+    cfg: LASConfig,
+    tx,
+    devices: Optional[Sequence] = None,
+    n_microbatches: int = 2,
+    compute_dtype=jnp.float32,
+    grad_norm: float = 0.0,
+) -> Callable:
+    """Build a 2-stage pipelined train step.
+
+    Returns ``step(state, x, lx, y, ly, tf_rate, lr) -> (state, metrics)``
+    where the global batch is split into ``n_microbatches`` along axis 0.
+    Loss/grad semantics match the single-device step: the masked CE is summed
+    over microbatches token-weighted, exactly like one big batch.
+
+    ``grad_norm > 0`` applies GLOBAL-norm clipping across BOTH stages (two
+    scalar squared-norms cross the wire, nothing else) — identical semantics
+    to the single-device ``clip_by_global_norm``. Build ``tx`` WITHOUT its
+    own clipping (``build_optimizer(..., grad_norm=inf)``), otherwise the
+    stages would clip by their per-stage norms, which is a different
+    optimizer than the reference's (src/train.py:167).
+    """
+    if devices is None:
+        devices = jax.devices()[:2]
+    d0, d1 = devices[0], devices[1]
+
+    def _listener_fwd(p, rng, x, lx):
+        return listener_apply(p, cfg.listener, rng, x.astype(compute_dtype),
+                              lx, train=True)
+
+    def _speller_loss(p, rng, enc_h, enc_l, y, ly, tf_rate):
+        out = speller_apply(p, cfg.speller, rng, enc_h, enc_l, y,
+                            tf_rate=tf_rate, train=True)
+        loss, n_tokens = masked_ce_loss(out.logits, y, ly)
+        return loss * n_tokens, n_tokens  # token-sum; re-normalized at the end
+
+    # stage programs; each runs on the device of its inputs
+    listener_fwd = jax.jit(_listener_fwd)
+
+    @jax.jit
+    def speller_grad(p, rng, enc_h, enc_l, y, ly, tf_rate):
+        (loss_sum, n_tok), g = jax.value_and_grad(
+            lambda pp, eh: _speller_loss(pp, rng, eh, enc_l, y, ly, tf_rate),
+            argnums=(0, 1), has_aux=True,
+        )(p, enc_h)
+        (g_sp, d_enc) = g
+        return loss_sum, n_tok, g_sp, d_enc
+
+    @jax.jit
+    def listener_bwd(p, rng, x, lx, d_enc):
+        # activation recomputation: re-run the forward under vjp (remat)
+        _, vjp = jax.vjp(
+            lambda pp: _listener_fwd(pp, rng, x, lx)[0], p)
+        return vjp(d_enc)[0]
+
+    @jax.jit
+    def apply_updates(p, opt_state, grads, lr):
+        from attention_based_e2e_asr_dnn_tpu.training.steps import _set_lr
+        import optax
+
+        opt_state = _set_lr(opt_state, lr, 1)
+        updates, opt_state = tx.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), opt_state
+
+    tree_add = jax.jit(lambda a, b: jax.tree.map(jnp.add, a, b))
+    tree_scale = jax.jit(lambda a, s: jax.tree.map(lambda x: x * s, a))
+    sq_norm = jax.jit(lambda a: sum(
+        jnp.sum(jnp.square(x.astype(jnp.float32))) for x in jax.tree.leaves(a)))
+
+    def step(state: PipelineState, x, lx, y, ly, tf_rate, lr):
+        batch = x.shape[0]
+        if batch % n_microbatches:
+            raise ValueError(
+                f"batch {batch} not divisible by {n_microbatches} microbatches")
+        mb = batch // n_microbatches
+        rng, *mb_rngs = jax.random.split(state.rng, 2 * n_microbatches + 1)
+
+        # ---- fill the pipe: dispatch every microbatch's stage-0 forward ----
+        encs = []
+        xs, lxs = [], []
+        for i in range(n_microbatches):
+            sl = slice(i * mb, (i + 1) * mb)
+            xi = jax.device_put(x[sl], d0)
+            lxi = jax.device_put(lx[sl], d0)
+            xs.append(xi)
+            lxs.append(lxi)
+            encs.append(listener_fwd(state.params_listener, mb_rngs[i], xi, lxi))
+
+        # ---- stage 1 (speller fwd+bwd) on d1, stage-0 bwd back on d0 -------
+        loss_sum = jnp.zeros((), jnp.float32)
+        tok_sum = jnp.zeros((), jnp.float32)
+        g_sp_acc = None
+        g_ls_acc = None
+        for i in range(n_microbatches):
+            sl = slice(i * mb, (i + 1) * mb)
+            enc_h, enc_l = encs[i]
+            enc_h = jax.device_put(enc_h, d1)
+            enc_l = jax.device_put(enc_l, d1)
+            yi = jax.device_put(y[sl], d1)
+            lyi = jax.device_put(ly[sl], d1)
+            ls, nt, g_sp, d_enc = speller_grad(
+                state.params_speller,
+                jax.device_put(mb_rngs[n_microbatches + i], d1),
+                enc_h, enc_l, yi, lyi, tf_rate)
+            # stage-0 backward for microbatch i overlaps stage-1 forward of
+            # microbatch i+1 (async dispatch, separate device queues)
+            g_ls = listener_bwd(state.params_listener, mb_rngs[i], xs[i],
+                                lxs[i], jax.device_put(d_enc, d0))
+            loss_sum = loss_sum + jax.device_put(ls, d0).astype(jnp.float32)
+            tok_sum = tok_sum + jax.device_put(nt, d0).astype(jnp.float32)
+            g_sp_acc = g_sp if g_sp_acc is None else tree_add(g_sp_acc, g_sp)
+            g_ls_acc = g_ls if g_ls_acc is None else tree_add(g_ls_acc, g_ls)
+
+        # token-mean normalization identical to the fused single-device loss
+        inv = 1.0 / tok_sum
+        g_sp_acc = tree_scale(g_sp_acc, jax.device_put(inv, d1))
+        g_ls_acc = tree_scale(g_ls_acc, jax.device_put(inv, d0))
+        loss = loss_sum * inv
+
+        if grad_norm and grad_norm > 0.0:
+            # cross-stage GLOBAL norm: only two scalars cross the wire
+            total_sq = (sq_norm(g_ls_acc)
+                        + jax.device_put(sq_norm(g_sp_acc), d0))
+            gnorm = jnp.sqrt(total_sq)
+            scale = jnp.minimum(1.0, grad_norm / (gnorm + 1e-12))
+            g_ls_acc = tree_scale(g_ls_acc, scale)
+            g_sp_acc = tree_scale(g_sp_acc, jax.device_put(scale, d1))
+
+        p_sp, opt_sp = apply_updates(state.params_speller, state.opt_speller,
+                                     g_sp_acc, lr)
+        p_ls, opt_ls = apply_updates(state.params_listener, state.opt_listener,
+                                     g_ls_acc, lr)
+        new_state = PipelineState(p_ls, p_sp, opt_ls, opt_sp, rng)
+        return new_state, {"loss": loss, "ppl": jnp.exp(loss),
+                           "n_tokens": tok_sum}
+
+    return step
+
+
+def init_pipeline_state(params: dict, tx, rng: jax.Array,
+                        devices: Optional[Sequence] = None) -> PipelineState:
+    """Split a las_init params tree into pinned per-stage state."""
+    if devices is None:
+        devices = jax.devices()[:2]
+    state = PipelineState(
+        params_listener=params["listener"],
+        params_speller=params["speller"],
+        opt_listener=tx.init(params["listener"]),
+        opt_speller=tx.init(params["speller"]),
+        rng=rng,
+    )
+    return place_pipeline_state(state, devices)

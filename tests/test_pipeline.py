@@ -1,0 +1,154 @@
+"""Pipeline-parallel (2-stage listener|speller) tests on the CPU mesh.
+
+The pipelined step must reproduce the single-device train step exactly when
+randomness is quiesced (tf_rate=1.0, no dropout/SpecAug): same loss, same
+updated parameters — the pipeline is a pure re-staging of the computation
+(SURVEY.md §2.9: all distributed support is additive over the reference).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+
+from attention_based_e2e_asr_dnn_tpu.models.las import (
+    las_apply,
+    las_config_from_dicts,
+    las_init,
+)
+from attention_based_e2e_asr_dnn_tpu.parallel.pipeline import (
+    init_pipeline_state,
+    make_pipeline_train_step,
+)
+from attention_based_e2e_asr_dnn_tpu.training.optim import build_optimizer
+from attention_based_e2e_asr_dnn_tpu.training.steps import (
+    create_train_state,
+    make_train_step,
+)
+
+
+def _cfg():
+    return las_config_from_dicts(
+        dict(input_dim=15, uniform_hid_dim=16, lstm_layers=1, plstm_layers=1,
+             init_dropout=0.0, mid_dropout=0.0, final_dropout=0.0),
+        dict(att_proj_dim=8, att_heads=1, att_dropout=0.0, dec_emb_dim=16,
+             dec_emb_dropout=0.0, dec_lstm_hid_dim=16, dec_lstm_out_dim=8,
+             dec_lstm_dropout=0.0, CHR_MAX_STEPS=12),
+    )
+
+
+def _batch(batch=8, t=32, label=10, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(batch, t, 15)).astype(np.float32)
+    lx = rng.integers(t // 2, t + 1, size=(batch,)).astype(np.int32)
+    y = rng.integers(0, 30, size=(batch, label)).astype(np.int32)
+    ly = rng.integers(2, label + 1, size=(batch,)).astype(np.int32)
+    return x, lx, y, ly
+
+
+@pytest.mark.parametrize("n_microbatches", [1, 2, 4])
+def test_pipeline_matches_single_device(n_microbatches):
+    assert len(jax.devices()) >= 2, "conftest forces an 8-device CPU mesh"
+    cfg = _cfg()
+    params = las_init(jax.random.key(0), cfg)
+    x, lx, y, ly = _batch()
+
+    def mktx(grad_norm=1e9):
+        return build_optimizer(
+            "adamw", {"lr": 1e-3, "weight_decay": 1e-6, "amsgrad": True},
+            grad_norm=grad_norm)
+
+    # single-device reference step
+    def apply_fn(p, rng, x_, lx_, dec_y=None, tf_rate=1.0, init_force=False,
+                 train=False):
+        return las_apply(p, cfg, rng, x_, lx_, dec_y, tf_rate, init_force,
+                         train)
+
+    tx_ref = mktx()
+    ref_state = create_train_state(params, tx_ref, jax.random.key(1))
+    ref_step = make_train_step(apply_fn, tx_ref, use_specaug=False,
+                               donate=False)
+    ref_state, ref_metrics, _ = ref_step(
+        ref_state, x, lx, y, ly, jnp.asarray(1.0), jnp.asarray(1e-3))
+
+    # pipelined step over 2 CPU devices
+    tx_pipe = mktx()
+    pipe_state = init_pipeline_state(params, tx_pipe, jax.random.key(1),
+                                     devices=jax.devices()[:2])
+    pipe_step = make_pipeline_train_step(cfg, tx_pipe,
+                                         devices=jax.devices()[:2],
+                                         n_microbatches=n_microbatches)
+    pipe_state, pipe_metrics = pipe_step(
+        pipe_state, x, lx, y, ly, jnp.asarray(1.0), jnp.asarray(1e-3))
+
+    np.testing.assert_allclose(float(pipe_metrics["loss"]),
+                               float(ref_metrics["loss"]), atol=1e-5)
+    # updated parameters identical stage-by-stage
+    f_ref, _ = jax.flatten_util.ravel_pytree(
+        {"listener": ref_state.params["listener"],
+         "speller": ref_state.params["speller"]})
+    f_pipe, _ = jax.flatten_util.ravel_pytree(
+        {"listener": jax.device_get(pipe_state.params_listener),
+         "speller": jax.device_get(pipe_state.params_speller)})
+    np.testing.assert_allclose(np.asarray(f_pipe), np.asarray(f_ref),
+                               atol=2e-5)
+
+
+def test_pipeline_global_clip_matches_single_device():
+    """Cross-stage global-norm clipping == single-device clip_by_global_norm
+    (per-stage clipping would be a different optimizer)."""
+    cfg = _cfg()
+    params = las_init(jax.random.key(0), cfg)
+    x, lx, y, ly = _batch(seed=3)
+    clip = 0.05  # low enough that clipping actually engages
+
+    def apply_fn(p, rng, x_, lx_, dec_y=None, tf_rate=1.0, init_force=False,
+                 train=False):
+        return las_apply(p, cfg, rng, x_, lx_, dec_y, tf_rate, init_force,
+                         train)
+
+    tx_ref = build_optimizer("adamw", {"lr": 1e-3}, grad_norm=clip)
+    ref_state = create_train_state(params, tx_ref, jax.random.key(1))
+    ref_step = make_train_step(apply_fn, tx_ref, use_specaug=False,
+                               donate=False)
+    ref_state, _, _ = ref_step(ref_state, x, lx, y, ly, jnp.asarray(1.0),
+                               jnp.asarray(1e-3))
+
+    tx_pipe = build_optimizer("adamw", {"lr": 1e-3}, grad_norm=1e9)
+    pipe_state = init_pipeline_state(params, tx_pipe, jax.random.key(1),
+                                     devices=jax.devices()[:2])
+    pipe_step = make_pipeline_train_step(cfg, tx_pipe,
+                                         devices=jax.devices()[:2],
+                                         n_microbatches=2, grad_norm=clip)
+    pipe_state, _ = pipe_step(pipe_state, x, lx, y, ly, jnp.asarray(1.0),
+                              jnp.asarray(1e-3))
+
+    f_ref, _ = jax.flatten_util.ravel_pytree(ref_state.params)
+    f_pipe, _ = jax.flatten_util.ravel_pytree(
+        {"listener": jax.device_get(pipe_state.params_listener),
+         "speller": jax.device_get(pipe_state.params_speller)})
+    np.testing.assert_allclose(np.asarray(f_pipe), np.asarray(f_ref),
+                               atol=2e-5)
+
+
+def test_pipeline_stages_live_on_their_devices():
+    cfg = _cfg()
+    params = las_init(jax.random.key(0), cfg)
+    tx = build_optimizer("adamw", {"lr": 1e-3}, grad_norm=0.0)
+    d = jax.devices()[:2]
+    state = init_pipeline_state(params, tx, jax.random.key(1), devices=d)
+    ls_dev = jax.tree.leaves(state.params_listener)[0].devices()
+    sp_dev = jax.tree.leaves(state.params_speller)[0].devices()
+    assert ls_dev == {d[0]} and sp_dev == {d[1]}
+
+    # two consecutive steps run and keep placement
+    x, lx, y, ly = _batch()
+    step = make_pipeline_train_step(cfg, tx, devices=d, n_microbatches=2)
+    for _ in range(2):
+        state, metrics = step(state, x, lx, y, ly, jnp.asarray(1.0),
+                              jnp.asarray(1e-3))
+        assert np.isfinite(float(metrics["loss"]))
+    assert jax.tree.leaves(state.params_listener)[0].devices() == {d[0]}
+    assert jax.tree.leaves(state.params_speller)[0].devices() == {d[1]}
