@@ -53,6 +53,7 @@ class RewriterConfig:
     CHR_MAX_STEPS: int = 600
     CHR_SOS_IDX: int = 0
     legacy_scale: bool = False
+    decoder_impl: str = "scan"  # "pallas": fused decode kernel when blockable
 
     @property
     def enc_out_dim(self) -> int:
@@ -75,6 +76,7 @@ class RewriterConfig:
             CHR_PAD_IDX=self.CHR_PAD_IDX,
             CHR_SOS_IDX=self.CHR_SOS_IDX,
             legacy_scale=self.legacy_scale,
+            decoder_impl=self.decoder_impl,
         )
 
 

@@ -585,8 +585,7 @@ def _fused_forward(static, k, v, bias, ctx0, h10, c10, h20, c20, embw1, wc1,
         parts.append(_fwd_chunk(
             k[sl], v[sl], bias[sl], ctx0[sl], h10[sl], c10[sl], h20[sl],
             c20[sl], embw1, wc1, whh1, wih2, whh2, b2, wq, bq, wcls, clsb,
-            gold[:, sl], m1[:, sl] if use_dropout else m1[:, sl],
-            m2[:, sl] if use_dropout else m2[:, sl],
+            gold[:, sl], m1[:, sl], m2[:, sl],
             heads=heads, scale=scale, sos_idx=sos_idx,
             use_dropout=use_dropout, te_chunk=te_chunk, interpret=interpret,
         ))

@@ -134,6 +134,13 @@ def test_speller_apply_routes_to_fused():
                                   np.asarray(if_scan.logits))
 
 
+def test_rewriter_threads_decoder_impl():
+    from attention_based_e2e_asr_dnn_tpu.models.rewriter import RewriterConfig
+
+    cfg = RewriterConfig(decoder_impl="pallas")
+    assert cfg.speller_config().decoder_impl == "pallas"
+
+
 def test_fused_available_gate():
     cfg, *_ = _setup()
     # interpret mode: anything goes
