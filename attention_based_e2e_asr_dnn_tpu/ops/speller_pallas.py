@@ -743,7 +743,9 @@ def fused_decode_available(cfg, batch: int, enc_len: int,
         batch % 8 == 0
         and enc_len % 16 == 0
         and cfg.att_proj_dim % 128 == 0
-        and (cfg.att_heads == 1 or d_head % 128 == 0)
+        # 32/64-wide head slices verified to lower on Mosaic (sub-lane-width
+        # vector slicing); below 32 untested -> scan fallback
+        and d_head % 32 == 0
         and cfg.dec_lstm_hid_dim % 128 == 0
         and cfg.dec_lstm_out_dim % 128 == 0
         and pick_chunk(batch, enc_len, cfg.att_proj_dim, False) > 0
