@@ -56,7 +56,8 @@ ARCHS = {
 
 def make_config(data_dir: str, exp_dir: str, epochs: int,
                 batch_size: int = 32, arch: str = "small",
-                lstm_impl: str = "scan", decoder_impl: str = "scan") -> dict:
+                lstm_impl: str = "scan", decoder_impl: str = "scan",
+                max_steps: int = 120) -> dict:
     a = ARCHS[arch]
     return {
         "TRN_FOLDER": os.path.join(data_dir, "train-clean-100"),
@@ -90,7 +91,7 @@ def make_config(data_dir: str, exp_dir: str, epochs: int,
                 },
                 "speller_configs": {
                     "att_heads": 1, "att_dropout": 0.0, "dec_emb_dropout": 0.0,
-                    "CHR_MAX_STEPS": 120, "USE_GREEDY": True,
+                    "CHR_MAX_STEPS": max_steps, "USE_GREEDY": True,
                     "decoder_impl": decoder_impl,
                     **a["speller"],
                 },
@@ -120,11 +121,14 @@ def main():
                         default="scan")
     parser.add_argument("--lstm-impl", choices=["scan", "pallas"],
                         default="scan")
+    parser.add_argument("--max-steps", type=int, default=120,
+                        help="eval free-run decode cap (>= max label length)")
     args = parser.parse_args()
 
     exp_dir = args.exp_dir or tempfile.mkdtemp(prefix="synth-exp-")
     cfg = make_config(args.data_dir, exp_dir, args.epochs, args.batch_size,
-                      args.arch, args.lstm_impl, args.decoder_impl)
+                      args.arch, args.lstm_impl, args.decoder_impl,
+                      args.max_steps)
     cfg_path = os.path.join(exp_dir, "synth-config.yml")
     os.makedirs(exp_dir, exist_ok=True)
     with open(cfg_path, "w") as fh:

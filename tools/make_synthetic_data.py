@@ -80,6 +80,11 @@ if __name__ == "__main__":
     parser.add_argument("--n-test", type=int, default=200)
     parser.add_argument("--noise", type=float, default=0.3)
     parser.add_argument("--seed", type=int, default=0)
+    # long-form knobs: --words 25 45 approximates train-clean-100 scale
+    # (~1250 frames / ~180 chars per utterance)
+    parser.add_argument("--words", type=int, nargs=2, default=(3, 10),
+                        metavar=("MIN", "MAX"))
     args = parser.parse_args()
     generate(args.out_dir, args.n_train, args.n_dev, args.n_test,
+             words_min=args.words[0], words_max=args.words[1],
              noise=args.noise, seed=args.seed)
