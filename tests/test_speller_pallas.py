@@ -134,6 +134,59 @@ def test_speller_apply_routes_to_fused():
                                   np.asarray(if_scan.logits))
 
 
+def test_train_step_composes_with_fused_decoder():
+    """The full jitted train step (specaug off, nan guard, optimizer) runs
+    through the fused decoder route and matches the scan-route step."""
+    from attention_based_e2e_asr_dnn_tpu.models.las import (
+        las_apply, las_config_from_dicts, las_init,
+    )
+    from attention_based_e2e_asr_dnn_tpu.training.optim import build_optimizer
+    from attention_based_e2e_asr_dnn_tpu.training.steps import (
+        create_train_state, make_train_step,
+    )
+
+    listener = dict(input_dim=15, uniform_hid_dim=16, lstm_layers=1,
+                    plstm_layers=1, init_dropout=0.0, mid_dropout=0.0,
+                    final_dropout=0.0)
+    speller = dict(att_proj_dim=8, att_heads=1, att_dropout=0.0,
+                   dec_emb_dim=16, dec_emb_dropout=0.0, dec_lstm_hid_dim=16,
+                   dec_lstm_out_dim=8, dec_lstm_dropout=0.0, CHR_MAX_STEPS=12)
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(4, 16, 15)).astype(np.float32)
+    lx = np.array([16, 12, 9, 16], np.int32)
+    y = rng.integers(0, 30, size=(4, 6)).astype(np.int32)
+    ly = np.array([6, 5, 3, 6], np.int32)
+
+    states = {}
+    for impl in ("scan", "pallas"):
+        cfg = las_config_from_dicts(
+            dict(listener), dict(speller, decoder_impl=impl))
+        params = las_init(jax.random.key(0), cfg)
+        tx = build_optimizer("adamw", {"lr": 1e-3}, grad_norm=5.0)
+        state = create_train_state(params, tx, jax.random.key(1))
+
+        def apply_fn(p, r, x_, lx_, dec_y=None, tf_rate=1.0,
+                     init_force=False, train=False, cfg=cfg):
+            return las_apply(p, cfg, r, x_, lx_, dec_y, tf_rate, init_force,
+                             train)
+
+        step = make_train_step(apply_fn, tx, use_specaug=False, donate=False)
+        state, metrics, att = step(state, x, lx, y, ly, jnp.asarray(1.0),
+                                   jnp.asarray(1e-3))
+        assert np.isfinite(float(metrics["loss"]))
+        states[impl] = (state, float(metrics["loss"]), np.asarray(att))
+
+    assert abs(states["scan"][1] - states["pallas"][1]) < 1e-4
+    np.testing.assert_allclose(states["pallas"][2], states["scan"][2],
+                               atol=1e-5)
+    f1, _ = jax.flatten_util.ravel_pytree(states["scan"][0].params)
+    f2, _ = jax.flatten_util.ravel_pytree(states["pallas"][0].params)
+    # post-Adam tolerance: eps-scale grad diffs (~1e-7) on near-zero-grad
+    # weights get normalized to O(lr) updates, so a handful of elements
+    # land ~1e-4 apart — structural divergence would be orders larger
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1), atol=1e-3)
+
+
 def test_rewriter_threads_decoder_impl():
     from attention_based_e2e_asr_dnn_tpu.models.rewriter import RewriterConfig
 

@@ -57,7 +57,7 @@ ARCHS = {
 def make_config(data_dir: str, exp_dir: str, epochs: int,
                 batch_size: int = 32, arch: str = "small",
                 lstm_impl: str = "scan", decoder_impl: str = "scan",
-                max_steps: int = 120) -> dict:
+                max_steps: int = 120, init_force: bool = False) -> dict:
     a = ARCHS[arch]
     return {
         "TRN_FOLDER": os.path.join(data_dir, "train-clean-100"),
@@ -71,7 +71,7 @@ def make_config(data_dir: str, exp_dir: str, epochs: int,
         "accu_grad": 1,
         "grad_norm": 5.0,
         "eval_ld_interval": 1,
-        "init_force": False,
+        "init_force": init_force,
         "tf_rate": 1.0,
         "max_savings": 2,
         "use_specaug": False,
@@ -123,12 +123,15 @@ def main():
                         default="scan")
     parser.add_argument("--max-steps", type=int, default=120,
                         help="eval free-run decode cap (>= max label length)")
+    parser.add_argument("--init-force", action="store_true",
+                        help="block-diagonal attention prior for early epochs "
+                             "(the reference's alignment aid; long utterances)")
     args = parser.parse_args()
 
     exp_dir = args.exp_dir or tempfile.mkdtemp(prefix="synth-exp-")
     cfg = make_config(args.data_dir, exp_dir, args.epochs, args.batch_size,
                       args.arch, args.lstm_impl, args.decoder_impl,
-                      args.max_steps)
+                      args.max_steps, args.init_force)
     cfg_path = os.path.join(exp_dir, "synth-config.yml")
     os.makedirs(exp_dir, exist_ok=True)
     with open(cfg_path, "w") as fh:
