@@ -506,6 +506,182 @@ pallas_lstm_scan.defvjp(_fwd, _bwd)
 
 
 # ---------------------------------------------------------------------------
+# Fused-input variant: the input projection runs IN-KERNEL for narrow inputs
+# ---------------------------------------------------------------------------
+#
+# For the base listener layer (in_dim = 15 features) the outside
+# x @ W_ih matmul materializes a (T, B, 4H) intermediate ~50x larger than x —
+# written by XLA, read back by the kernel (~3.2 GB per training step at
+# flagship shapes). With W_ih tiny it fits VMEM, so the kernel takes raw x
+# and projects per step; the projection dots are carry-independent, letting
+# the scheduler overlap them with the recurrent chain. Only used when
+# in_dim <= 128 (wider layers' W_ih would evict the stream budget).
+
+
+def _lstm_scan_fusedin_kernel(x_ref, mask_ref, wih_ref, b_ref, whh_ref,
+                              h_out_ref, c_out_ref, h_scratch, c_scratch, *,
+                              hidden_dim: int, k_block: int,
+                              scan_desc: bool = False,
+                              train_gates: bool = False, g_out_ref=None):
+    """Lean fused-input recurrence; with ``train_gates`` also streams the
+    activated gates (the training forward feeding the Pallas adjoint)."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        h_scratch[:] = jnp.zeros_like(h_scratch)
+        c_scratch[:] = jnp.zeros_like(c_scratch)
+
+    wdt = whh_ref.dtype
+
+    def one_step(j, carry):
+        k = k_block - 1 - j if scan_desc else j
+        h, c = carry
+        pre = (
+            jnp.dot(x_ref[k].astype(wdt), wih_ref[:],
+                    preferred_element_type=jnp.float32)
+            + b_ref[:].astype(jnp.float32)
+            + jnp.dot(h.astype(wdt), whh_ref[:],
+                      preferred_element_type=jnp.float32)
+        )
+        i = jax.nn.sigmoid(pre[:, 0 * hidden_dim : 1 * hidden_dim])
+        f = jax.nn.sigmoid(pre[:, 1 * hidden_dim : 2 * hidden_dim])
+        g = jnp.tanh(pre[:, 2 * hidden_dim : 3 * hidden_dim])
+        o = jax.nn.sigmoid(pre[:, 3 * hidden_dim : 4 * hidden_dim])
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+
+        m = mask_ref[k].astype(jnp.float32)
+        h_next = m * h_new + (1.0 - m) * h
+        c_next = m * c_new + (1.0 - m) * c
+        h_out_ref[k] = (m * h_new).astype(h_out_ref.dtype)  # zeroed pads
+        c_out_ref[k] = c_next.astype(c_out_ref.dtype)
+        if train_gates:
+            gd = g_out_ref.dtype
+            g_out_ref[k, :, 0 * hidden_dim : 1 * hidden_dim] = i.astype(gd)
+            g_out_ref[k, :, 1 * hidden_dim : 2 * hidden_dim] = f.astype(gd)
+            g_out_ref[k, :, 2 * hidden_dim : 3 * hidden_dim] = g.astype(gd)
+            g_out_ref[k, :, 3 * hidden_dim : 4 * hidden_dim] = o.astype(gd)
+        return h_next, c_next
+
+    h, c = h_scratch[:], c_scratch[:]
+    if k_block == 1:
+        h, c = one_step(0, (h, c))
+    else:
+        h, c = jax.lax.fori_loop(0, k_block, one_step, (h, c),
+                                 unroll=k_block)
+    h_scratch[:] = h
+    c_scratch[:] = c
+
+
+def _fusedin_call(x, w_ih, b, w_hh, mask, interpret, reverse, train: bool):
+    seq_len, batch, in_dim = x.shape
+    hidden_dim = w_hh.shape[0]
+    four_h = 4 * hidden_dim
+    dtype = x.dtype
+    es = jnp.dtype(dtype).itemsize
+    stream = in_dim + 2 * hidden_dim + 1 + (four_h if train else 0)
+    fixed = (in_dim + hidden_dim) * four_h * es + 2 * batch * hidden_dim * 4
+    k_block = _pick_k_block(seq_len, stream, batch, es, fixed_bytes=fixed)
+    grid = seq_len // k_block
+    idx = _scan_specs(grid, reverse)
+
+    kernel = functools.partial(
+        _lstm_scan_fusedin_kernel, hidden_dim=hidden_dim, k_block=k_block,
+        scan_desc=reverse, train_gates=train,
+    )
+    if train:
+        # gates ref arrives positionally after c_out; rebind the kwarg form
+        def kernel(x_r, m_r, wi_r, b_r, wh_r, h_r, c_r, g_r, hs, cs):  # noqa: F811
+            return _lstm_scan_fusedin_kernel(
+                x_r, m_r, wi_r, b_r, wh_r, h_r, c_r, hs, cs,
+                hidden_dim=hidden_dim, k_block=k_block, scan_desc=reverse,
+                train_gates=True, g_out_ref=g_r)
+    out_specs = [
+        pl.BlockSpec((k_block, batch, hidden_dim), idx),
+        pl.BlockSpec((k_block, batch, hidden_dim), idx),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((seq_len, batch, hidden_dim), dtype),
+        jax.ShapeDtypeStruct((seq_len, batch, hidden_dim), dtype),
+    ]
+    if train:
+        out_specs.append(pl.BlockSpec((k_block, batch, four_h), idx))
+        out_shape.append(jax.ShapeDtypeStruct((seq_len, batch, four_h), dtype))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((k_block, batch, in_dim), idx),
+            pl.BlockSpec((k_block, batch, 1), idx),
+            pl.BlockSpec((in_dim, four_h), lambda t: (0, 0)),
+            pl.BlockSpec((1, four_h), lambda t: (0, 0)),
+            pl.BlockSpec((hidden_dim, four_h), lambda t: (0, 0)),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((batch, hidden_dim), jnp.float32),
+            pltpu.VMEM((batch, hidden_dim), jnp.float32),
+        ] if pltpu is not None else None,
+        interpret=interpret,
+    )(x, mask.astype(dtype)[:, :, None], w_ih.astype(dtype),
+      b.astype(dtype)[None], w_hh.astype(dtype))
+    return outs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def pallas_lstm_scan_fusedin(x, w_ih, b, w_hh, mask, interpret: bool = False,
+                             reverse: bool = False):
+    """Differentiable fused LSTM recurrence with IN-KERNEL input projection.
+
+    x (T, B, in_dim) raw inputs; w_ih (in_dim, 4H); b (4H,); w_hh (H, 4H);
+    mask (T, B). Returns hs (T, B, H), zeroed at padded positions. Same
+    adjoint kernel as ``pallas_lstm_scan``; the input-projection gradients
+    become big outside matmuls over the streamed dpre.
+    """
+    hs, _ = _fusedin_call(x, w_ih, b, w_hh, mask, interpret, reverse,
+                          train=False)
+    return hs
+
+
+def _fusedin_fwd(x, w_ih, b, w_hh, mask, interpret, reverse):
+    hs, cs, gates = _fusedin_call(x, w_ih, b, w_hh, mask, interpret, reverse,
+                                  train=True)
+    return hs, (x, w_ih, w_hh, mask, hs, cs, gates)
+
+
+def _fusedin_bwd(interpret, reverse, res, d_hs):
+    x, w_ih, w_hh, mask, hs, cs, gates = res
+    seq_len, batch, _ = gates.shape
+    hidden_dim = gates.shape[2] // 4
+    dtype = gates.dtype
+    prec = matmul_precision(dtype)
+
+    zero_row = jnp.zeros((1, batch, hidden_dim), dtype)
+    if reverse:
+        h_prev = jnp.concatenate([hs[1:], zero_row], axis=0)
+        c_prev = jnp.concatenate([cs[1:], zero_row], axis=0)
+    else:
+        h_prev = jnp.concatenate([zero_row, hs[:-1]], axis=0)
+        c_prev = jnp.concatenate([zero_row, cs[:-1]], axis=0)
+
+    dpre = _backward_pallas(w_hh, mask, gates, cs, c_prev,
+                            d_hs.astype(dtype), interpret, reverse=reverse)
+    d_whh = jnp.einsum("tbh,tbk->hk", h_prev, dpre, precision=prec,
+                       preferred_element_type=jnp.float32)
+    d_wih = jnp.einsum("tbi,tbk->ik", x, dpre, precision=prec,
+                       preferred_element_type=jnp.float32)
+    d_b = jnp.sum(dpre, axis=(0, 1), dtype=jnp.float32)
+    d_x = jnp.einsum("tbk,ik->tbi", dpre, w_ih.astype(dtype), precision=prec)
+    return (d_x, d_wih.astype(w_ih.dtype), d_b.astype(dtype),
+            d_whh.astype(w_hh.dtype), None)
+
+
+pallas_lstm_scan_fusedin.defvjp(_fusedin_fwd, _fusedin_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Drop-in lstm_apply with the Pallas recurrence
 # ---------------------------------------------------------------------------
 
@@ -529,12 +705,25 @@ def lstm_apply_pallas(
 
         return lstm_apply(params, x, lengths, reverse=reverse)
     dtype = x.dtype
+    valid = length_mask(lengths, seq_len, dtype=dtype)  # (B, T) 1/0
+
+    in_dim = params["w_ih"].shape[0]
+    if in_dim <= 128:
+        # narrow input (the base listener layer): project IN-KERNEL — skips
+        # materializing the (T, B, 4H) x_proj intermediate entirely
+        hs = pallas_lstm_scan_fusedin(
+            jnp.swapaxes(x, 0, 1).astype(dtype),
+            params["w_ih"].astype(dtype), params["b"].astype(dtype),
+            params["w_hh"].astype(dtype), jnp.swapaxes(valid, 0, 1),
+            interpret, reverse,
+        )
+        return jnp.swapaxes(hs, 0, 1)
+
     x_proj = jnp.einsum(
         "btd,dh->bth", x, params["w_ih"].astype(dtype),
         precision=matmul_precision(dtype),
     ) + params["b"].astype(dtype)
 
-    valid = length_mask(lengths, seq_len, dtype=dtype)  # (B, T) 1/0
     # the reversed direction runs inside the kernel via reversed index maps —
     # no jnp.flip copies on either side; padded positions come back zeroed
     # from the kernel, so no outer mask multiply either

@@ -141,3 +141,37 @@ def test_pallas_bilstm_gradients_match_scan(variant):
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pal)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-4, rtol=1e-4)
+
+
+def test_pallas_wide_input_xproj_route_matches_scan():
+    """in_dim > 128 takes the outside-x_proj route (the fused-input kernel is
+    for narrow inputs only); both routes must match the scan — fwd + grads."""
+    B, T, D, H = 3, 6, 160, 8
+    params = lstm_init(jax.random.key(11), D, H)
+    x = jax.random.normal(jax.random.key(12), (B, T, D))
+    lengths = jnp.array([6, 5, 3])
+
+    out_ref = lstm_apply(params, x, lengths)
+    out_pal = lstm_apply_pallas(params, x, lengths, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_ref),
+                               atol=1e-5)
+
+    g_ref = jax.grad(lambda p: jnp.sum(lstm_apply(p, x, lengths) ** 2))(params)
+    g_pal = jax.grad(lambda p: jnp.sum(
+        lstm_apply_pallas(p, x, lengths, interpret=True) ** 2))(params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pal)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=1e-4)
+
+
+def test_pallas_fusedin_reverse_matches_scan():
+    """Fused-input kernel in the reversed (BiLSTM backward) direction."""
+    B, T, D, H = 3, 8, 15, 8
+    params = lstm_init(jax.random.key(13), D, H)
+    x = jax.random.normal(jax.random.key(14), (B, T, D))
+    lengths = jnp.array([8, 6, 4])
+    out_ref = lstm_apply(params, x, lengths, reverse=True)
+    out_pal = lstm_apply_pallas(params, x, lengths, reverse=True,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_ref),
+                               atol=1e-5)
