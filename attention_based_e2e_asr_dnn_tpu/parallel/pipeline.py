@@ -48,6 +48,16 @@ class PipelineState(NamedTuple):
     opt_speller: tuple
     rng: jax.Array
 
+    # Trainer-protocol views (checkpoint payloads, eval, summaries)
+    @property
+    def params(self) -> dict:
+        return {"listener": self.params_listener,
+                "speller": self.params_speller}
+
+    @property
+    def opt_state(self) -> dict:
+        return {"listener": self.opt_listener, "speller": self.opt_speller}
+
 
 def place_pipeline_state(state: PipelineState, devices: Sequence) -> PipelineState:
     """Pin stage 0 (listener) to devices[0], stage 1 (speller) to devices[1]."""
@@ -68,6 +78,7 @@ def make_pipeline_train_step(
     n_microbatches: int = 2,
     compute_dtype=jnp.float32,
     grad_norm: float = 0.0,
+    accum_steps: int = 1,
 ) -> Callable:
     """Build a 2-stage pipelined train step.
 
@@ -121,7 +132,7 @@ def make_pipeline_train_step(
         from attention_based_e2e_asr_dnn_tpu.training.steps import _set_lr
         import optax
 
-        opt_state = _set_lr(opt_state, lr, 1)
+        opt_state = _set_lr(opt_state, lr, accum_steps)
         updates, opt_state = tx.update(grads, opt_state, p)
         return optax.apply_updates(p, updates), opt_state
 

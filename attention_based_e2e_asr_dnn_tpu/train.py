@@ -174,19 +174,32 @@ def main(args):
     # (new capability, SURVEY §5.8; the reference is single-device)
     shard_batch = None
     shard_state = None
+    pipeline = None
     par = getattr(trncfgs, "parallel", None)
     if par is not None and par.use:
         model_par = int(getattr(par, "model", 1) or 1)
-        if model_par > 1:
+        pipeline_mb = int(getattr(par, "pipeline", 0) or 0)
+        if pipeline_mb > 0:
+            # 2-stage listener|speller pipeline, `pipeline` microbatches
+            # (parallel/pipeline.py); mutually exclusive with mesh sharding
+            if model_par > 1:
+                raise ValueError(
+                    "parallel: pipeline and model (tensor) parallelism are "
+                    "mutually exclusive in this release")
+            pipeline = {"cfg": las_cfg, "n_microbatches": pipeline_mb}
+            print(f"[parallel] 2-stage pipeline, {pipeline_mb} microbatches "
+                  f"over devices {[str(d) for d in jax.devices()[:2]]}")
+        elif model_par > 1:
             mesh = make_mesh_2d(getattr(par, "data", None), model_par)
             shard_state = lambda s: shard_train_state(s, mesh)
             print(f"[parallel] 2-D mesh: data={mesh.shape['data']} x "
                   f"model={mesh.shape['model']}")
+            shard_batch = shard_batch_fn(mesh)
         else:
             mesh = make_mesh(getattr(par, "data", None)
                              or getattr(par, "n_devices", None))
             print(f"[parallel] data-parallel mesh over {mesh.size} devices")
-        shard_batch = shard_batch_fn(mesh)
+            shard_batch = shard_batch_fn(mesh)
 
     # optional beam-search dev LD (eval_beam_size > 1; the reference's beam
     # branch was an empty stub, src/models.py:486-490)
@@ -216,6 +229,7 @@ def main(args):
         shard_batch=shard_batch,
         shard_state=shard_state,
         beam_decode=beam_decode,
+        pipeline=pipeline,
     )
     from attention_based_e2e_asr_dnn_tpu.utils.summary import (
         model_summary,

@@ -66,7 +66,14 @@ class Trainer:
         shard_batch: Optional[Callable] = None,
         shard_state: Optional[Callable] = None,
         beam_decode: Optional[Callable] = None,
+        pipeline: Optional[dict] = None,
     ):
+        """``pipeline``: optional 2-stage pipeline parallelism
+        (parallel/pipeline.py): ``{"cfg": LASConfig, "n_microbatches": int,
+        "devices": optional}``. Stages (listener | speller) live on separate
+        devices; grads are clipped by the cross-stage GLOBAL norm. Not
+        combinable with init_force (the kernel-free alignment prior) or the
+        dropout scheduler (stage programs are built from the static cfg)."""
         self.trncfgs = trncfgs
         self.trn_batcher = trn_batcher
         self.dev_batcher = dev_batcher
@@ -91,13 +98,27 @@ class Trainer:
         self.init_force_cfg = bool(getattr(trncfgs, "init_force", False))
         self.use_specaug = bool(getattr(trncfgs, "use_specaug", False))
         self.tf_rate = float(getattr(trncfgs, "tf_rate", 1.0))
+        self.pipeline_cfg = pipeline
+        if pipeline is not None:
+            if self.init_force_cfg:
+                raise ValueError(
+                    "pipeline parallelism does not support init_force "
+                    "(disable one of them)")
+            if (getattr(trncfgs, "dropout_scheduler", None)
+                    and trncfgs.dropout_scheduler.use):
+                raise ValueError(
+                    "pipeline parallelism does not support the dropout "
+                    "scheduler (stage programs use the static model config)")
 
-        # optimizer (registry parity, src/train.py:71-77)
+        # optimizer (registry parity, src/train.py:71-77). Pipeline mode
+        # clips by the CROSS-STAGE global norm inside the pipeline step, so
+        # its optax chain must not clip per stage.
         self.base_lr = float(trncfgs.optimizer.configs["lr"])
         self.current_lr = self.base_lr
         self.tx = build_optimizer(
             trncfgs.optimizer.name, trncfgs.optimizer.configs,
-            grad_norm=self.grad_norm, accum_steps=self.accu_grad,
+            grad_norm=1e30 if pipeline is not None else self.grad_norm,
+            accum_steps=self.accu_grad,
         )
 
         # schedulers (src/train.py:79-101, 448-474)
@@ -131,7 +152,20 @@ class Trainer:
         rng = jax.random.key(int(getattr(trncfgs, "seed", 0)))
         rng, init_rng = jax.random.split(rng)
         params = init_fn(init_rng)
-        self.state = self.shard_state(create_train_state(params, self.tx, rng))
+        if pipeline is not None:
+            from attention_based_e2e_asr_dnn_tpu.parallel.pipeline import (
+                init_pipeline_state,
+            )
+
+            if set(params) != {"listener", "speller"}:
+                raise ValueError(
+                    "pipeline parallelism expects a listener|speller model, "
+                    f"got param groups {sorted(params)}")
+            self.state = init_pipeline_state(
+                params, self.tx, rng, devices=pipeline.get("devices"))
+        else:
+            self.state = self.shard_state(
+                create_train_state(params, self.tx, rng))
         self.epoch = 0
         self.batch = 0
         self.train_history = {"loss": [], "ppl": []}
@@ -155,14 +189,47 @@ class Trainer:
     # ------------------------------------------------------------------
     def _build_steps(self) -> None:
         apply_fn = self.make_apply(self.dropout_scale)
-        self.train_step = make_train_step(
-            apply_fn, self.tx, accum_steps=self.accu_grad,
-            compute_dtype=self.compute_dtype, use_specaug=self.use_specaug,
-            specaug_freq=int(getattr(self.trncfgs, "specaug_freq", 6)),
-            specaug_time=int(getattr(self.trncfgs, "specaug_time", 200)),
-            specaug_iid=bool(getattr(self.trncfgs, "specaug_iid", False)),
-        )
+        if self.pipeline_cfg is not None:
+            from attention_based_e2e_asr_dnn_tpu.parallel.pipeline import (
+                make_pipeline_train_step,
+            )
+
+            pipe_step = make_pipeline_train_step(
+                self.pipeline_cfg["cfg"], self.tx,
+                devices=self.pipeline_cfg.get("devices"),
+                n_microbatches=int(self.pipeline_cfg.get("n_microbatches", 2)),
+                compute_dtype=self.compute_dtype,
+                grad_norm=self.grad_norm,
+                accum_steps=self.accu_grad,
+            )
+
+            def train_step(state, x, lx, y, ly, tf_rate, lr,
+                           init_force=False):
+                del init_force  # rejected at construction time
+                state, metrics = pipe_step(state, x, lx, y, ly, tf_rate, lr)
+                metrics = {**metrics, "grad_norm": jnp.zeros(()),
+                           "finite": jnp.asarray(True)}
+                return state, metrics, None
+
+            self.train_step = train_step
+        else:
+            self.train_step = make_train_step(
+                apply_fn, self.tx, accum_steps=self.accu_grad,
+                compute_dtype=self.compute_dtype, use_specaug=self.use_specaug,
+                specaug_freq=int(getattr(self.trncfgs, "specaug_freq", 6)),
+                specaug_time=int(getattr(self.trncfgs, "specaug_time", 200)),
+                specaug_iid=bool(getattr(self.trncfgs, "specaug_iid", False)),
+            )
         self.eval_step = make_eval_step(apply_fn, compute_dtype=self.compute_dtype)
+
+    def _eval_params(self):
+        """Params view for eval/decoding — pipeline stages live on different
+        devices, so gather them onto one for the single-program eval step."""
+        if self.pipeline_cfg is None:
+            return self.state.params
+        dev = jax.devices()[0]
+        return jax.tree.map(lambda a: jax.device_put(np.asarray(a), dev),
+                            self.state.params)
 
     # ------------------------------------------------------------------
     def _strip_sos(self, y: np.ndarray, ly: np.ndarray):
@@ -280,15 +347,16 @@ class Trainer:
         commented out there, src/train.py:242; honored here)."""
         total_loss = total_ppl = total_ld = 0.0
         n_batches = 0
+        eval_params = self._eval_params()
         for batch, y, ly, indices in self._prepared_batches(
             self.dev_batcher.epoch(0)
         ):
-            metrics, pred_ids = self.eval_step(self.state.params, *batch)
+            metrics, pred_ids = self.eval_step(eval_params, *batch)
             total_loss += float(metrics["loss"])
             total_ppl += float(metrics["ppl"])
             if compute_ld:
                 if self.beam_decode is not None:
-                    pred_ids = self.beam_decode(self.state.params,
+                    pred_ids = self.beam_decode(eval_params,
                                                 batch[0], batch[1])
                 real = indices >= 0
                 total_ld += batch_levenshtein(
@@ -431,10 +499,26 @@ class Trainer:
                     lambda ref, new: jnp.asarray(new), self.state.opt_state,
                     loaded["opt_state"],
                 )
-        self.state = self.shard_state(TrainState(
-            params=params, opt_state=opt_state, rng=self.state.rng,
-            step=self.state.step,
-        ))
+        if self.pipeline_cfg is not None:
+            from attention_based_e2e_asr_dnn_tpu.parallel.pipeline import (
+                PipelineState,
+                place_pipeline_state,
+            )
+
+            devices = (self.pipeline_cfg.get("devices")
+                       or jax.devices()[:2])
+            self.state = place_pipeline_state(PipelineState(
+                params_listener=params["listener"],
+                params_speller=params["speller"],
+                opt_listener=opt_state["listener"],
+                opt_speller=opt_state["speller"],
+                rng=self.state.rng,
+            ), devices)
+        else:
+            self.state = self.shard_state(TrainState(
+                params=params, opt_state=opt_state, rng=self.state.rng,
+                step=self.state.step,
+            ))
         self.epoch = loaded["epoch"]
         self.batch = loaded["batch"]
         self.train_history["loss"] = list(loaded.get("train_loss", []))

@@ -152,3 +152,37 @@ def test_pipeline_stages_live_on_their_devices():
         assert np.isfinite(float(metrics["loss"]))
     assert jax.tree.leaves(state.params_listener)[0].devices() == {d[0]}
     assert jax.tree.leaves(state.params_speller)[0].devices() == {d[1]}
+
+
+def test_train_cli_with_pipeline_parallelism(tmp_path):
+    """`parallel: {use: true, pipeline: 2}` drives the full train entry
+    through the pipelined Trainer: same loss trajectory as the plain run
+    (randomness quiesced) + checkpoints written."""
+    import os
+    import yaml
+
+    from tests.test_e2e_pipeline import _make_dataset, _train_config
+    from attention_based_e2e_asr_dnn_tpu import train as train_mod
+
+    root = str(tmp_path / "data")
+    _make_dataset(root, n=8)
+
+    losses = {}
+    for mode in ("plain", "pipeline"):
+        exp_dir = str(tmp_path / f"exp-{mode}")
+        cfg = _train_config(root, exp_dir)
+        cfg["epochs"] = 2
+        cfg["tf_rate"] = 1.0
+        if mode == "pipeline":
+            cfg["parallel"] = {"use": True, "pipeline": 2}
+        cfg_path = str(tmp_path / f"cfg-{mode}.yml")
+        with open(cfg_path, "w") as fh:
+            yaml.safe_dump(cfg, fh)
+        trainer = train_mod.main(
+            train_mod.build_argparser().parse_args(["-c", cfg_path]))
+        losses[mode] = trainer.train_history["loss"]
+        run_dir = [d for d in os.listdir(exp_dir) if d != "milestones"][0]
+        assert os.listdir(os.path.join(exp_dir, run_dir, "ckpts"))
+
+    np.testing.assert_allclose(losses["pipeline"], losses["plain"],
+                               rtol=2e-3)
