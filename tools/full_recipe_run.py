@@ -40,7 +40,8 @@ import yaml
 
 
 def las_recipe_config(data_dir: str, exp_dir: str, epochs: int,
-                      batch_size: int) -> dict:
+                      batch_size: int, decoder_impl: str = "scan",
+                      max_steps: int = 120, init_force: bool = False) -> dict:
     """Base-LAS with the reference's real training hyperparameters
     (reference config/sample-attention.yml:45-104, README.md:61-104)."""
     return {
@@ -55,7 +56,7 @@ def las_recipe_config(data_dir: str, exp_dir: str, epochs: int,
         "accu_grad": 1,
         "grad_norm": 5.0,
         "eval_ld_interval": 1,
-        "init_force": False,
+        "init_force": init_force,
         "tf_rate": 1.0,
         "max_savings": 3,
         "use_specaug": True,
@@ -80,8 +81,8 @@ def las_recipe_config(data_dir: str, exp_dir: str, epochs: int,
                     "att_proj_dim": 256, "att_heads": 1, "att_dropout": 0.0,
                     "dec_emb_dim": 512, "dec_emb_dropout": 0.0,
                     "dec_lstm_hid_dim": 512, "dec_lstm_out_dim": 256,
-                    "dec_lstm_dropout": 0.3, "CHR_MAX_STEPS": 120,
-                    "USE_GREEDY": True,
+                    "dec_lstm_dropout": 0.3, "CHR_MAX_STEPS": max_steps,
+                    "USE_GREEDY": True, "decoder_impl": decoder_impl,
                 },
             },
         },
@@ -198,6 +199,10 @@ def main():
     parser.add_argument("--lm-epochs", type=int, default=20)
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument("--milestone-epoch", type=int, default=9)
+    parser.add_argument("--decoder-impl", choices=["scan", "pallas"],
+                        default="scan")
+    parser.add_argument("--max-steps", type=int, default=120)
+    parser.add_argument("--init-force", action="store_true")
     args = parser.parse_args()
 
     work = args.work_dir or tempfile.mkdtemp(prefix="recipe-")
@@ -211,7 +216,8 @@ def main():
 
     # ---- Phase 1: LAS with the full reference recipe -------------------
     cfg = las_recipe_config(args.data_dir, las_exp, args.epochs,
-                            args.batch_size)
+                            args.batch_size, args.decoder_impl,
+                            args.max_steps, args.init_force)
     cfg_path = os.path.join(work, "las.yml")
     with open(cfg_path, "w") as fh:
         yaml.safe_dump(cfg, fh)
