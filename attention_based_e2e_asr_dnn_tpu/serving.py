@@ -38,10 +38,22 @@ from attention_based_e2e_asr_dnn_tpu.training.checkpoints import (
 from attention_based_e2e_asr_dnn_tpu.utils.levenshtein import ids_to_str
 
 
+def _epoch_of(filename: str) -> int:
+    """epoch number from a 'min-...-epoch[N].ckpt' tag (-1 if untagged)."""
+    import re
+
+    m = re.search(r"epoch\[(\d+)\]", filename)
+    return int(m.group(1)) if m else -1
+
+
 def _best_checkpoint(ckpt_dir: str) -> str:
-    """Highest-epoch best-tag checkpoint (min-*.ckpt)."""
-    cands = sorted(f for f in os.listdir(ckpt_dir)
-                   if f.endswith(".ckpt") and f.startswith("min"))
+    """Highest-epoch best-tag checkpoint (min-*.ckpt). Epochs compare
+    NUMERICALLY — a lexicographic sort would rank epoch[9] over epoch[10]."""
+    cands = sorted(
+        (f for f in os.listdir(ckpt_dir)
+         if f.endswith(".ckpt") and f.startswith("min")),
+        key=_epoch_of,
+    )
     if not cands:
         raise FileNotFoundError(f"no min-*.ckpt checkpoints in {ckpt_dir}")
     return os.path.join(ckpt_dir, cands[-1])

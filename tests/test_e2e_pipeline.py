@@ -339,3 +339,16 @@ def test_serving_transcriber_matches_infer(pipeline_dirs, tmp_path):
         template_filepath=None, vocab=model_cfgs.VOCAB,
         sos_idx=model_cfgs.SOS_IDX, eos_idx=model_cfgs.EOS_IDX)
     assert preds == cli_preds
+
+
+def test_best_checkpoint_sorts_epochs_numerically(tmp_path):
+    """min-...-epoch[10] must outrank epoch[9] (lexicographic sort would
+    invert them and serve a stale model)."""
+    from attention_based_e2e_asr_dnn_tpu.serving import _best_checkpoint
+
+    d = str(tmp_path)
+    for name in ("min-loss-ld-ppl-epoch[9].ckpt",
+                 "min-loss-ld-ppl-epoch[10].ckpt",
+                 "min-ld-epoch[2].ckpt"):
+        open(os.path.join(d, name), "wb").close()
+    assert _best_checkpoint(d).endswith("epoch[10].ckpt")
