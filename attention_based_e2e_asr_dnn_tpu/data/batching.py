@@ -194,18 +194,44 @@ class ThreadedPrefetcher:
         import threading
 
         self._q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+        self._stop = threading.Event()
+
+        def _put(item) -> bool:
+            """Bounded put that aborts when the consumer closed us — an
+            abandoned iterator must not pin the worker (and its assembled
+            batches) on a full queue forever."""
+            while not self._stop.is_set():
+                try:
+                    self._q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for item in batch_iter:
-                    self._q.put(item)
+                    if not _put(item):
+                        return
             except BaseException as exc:  # re-raised on the consumer side
-                self._q.put(exc)
+                _put(exc)
                 return
-            self._q.put(self._DONE)
+            _put(self._DONE)
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()
+
+    def close(self) -> None:
+        """Stop the worker and drop any queued batches (idempotent)."""
+        import queue
+
+        self._stop.set()
+        while True:
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
+        self._thread.join(timeout=2.0)
 
     def __iter__(self):
         return self

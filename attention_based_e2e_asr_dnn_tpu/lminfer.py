@@ -54,7 +54,7 @@ def infer_one_checkpoint(model_cfgs, tstcfgs, checkpoint_filepath, batcher,
 
         step = make_rewriter_greedy_step(
             lm_cfg,
-            max_len_factor=float(getattr(tstcfgs, "max_len_factor", 3.0)),
+            max_len_factor=float(getattr(tstcfgs, "max_len_factor", None) or 3.0),
         )
     else:
         step = make_infer_step(apply_fn)

@@ -19,10 +19,11 @@ as ONE pallas_call with grid=(T,):
   * the length mask freezes the carry past each utterance's true length
     (pad_packed_sequence parity, identical to ops/lstm.py).
 
-Differentiation: ``pallas_lstm_scan`` carries a custom VJP whose backward is
-the standard LSTM adjoint recurrence as a reverse ``lax.scan`` that RECOMPUTES
-gate activations from the saved (hs, cs) — trading one extra matmul per step
-for not materializing (T, B, 4H) gate workspace (what cuDNN stores).
+Differentiation: ``pallas_lstm_scan`` carries a custom VJP. The training
+forward streams out the activated gates, so the backward is the Pallas
+adjoint kernel (``_lstm_bwd_kernel``) with ONE matmul per step
+(``dpre @ W_hh^T``); the weight gradient is a single big MXU matmul outside
+(the same split-of-labor as the forward's input projection).
 
 Fallback: non-TPU backends or tiny shapes route to the pure lax.scan path.
 """
@@ -49,9 +50,38 @@ def _auto_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _masked_cell_update(pre, h, c, m, hidden_dim, h_out_ref, c_out_ref, k,
+                        g_out_ref=None):
+    """Shared fp32 LSTM cell body: gates from ``pre``, length-masked carry,
+    in-kernel pad zeroing of the h stream, optional activated-gates stream.
+    ONE definition so the inference/training/fused-input kernels cannot
+    drift apart."""
+    i = jax.nn.sigmoid(pre[:, 0 * hidden_dim : 1 * hidden_dim])
+    f = jax.nn.sigmoid(pre[:, 1 * hidden_dim : 2 * hidden_dim])
+    g = jnp.tanh(pre[:, 2 * hidden_dim : 3 * hidden_dim])
+    o = jax.nn.sigmoid(pre[:, 3 * hidden_dim : 4 * hidden_dim])
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+
+    h_next = m * h_new + (1.0 - m) * h
+    c_next = m * c_new + (1.0 - m) * c
+    # h outputs are ZEROED at padded positions in-kernel (m * h_next ==
+    # m * h_new) — saves the caller's full-array mask multiply + its
+    # adjoint; cs keeps carry semantics (the adjoint reads true c_t)
+    h_out_ref[k] = (m * h_new).astype(h_out_ref.dtype)
+    c_out_ref[k] = c_next.astype(c_out_ref.dtype)
+    if g_out_ref is not None:
+        gd = g_out_ref.dtype
+        g_out_ref[k, :, 0 * hidden_dim : 1 * hidden_dim] = i.astype(gd)
+        g_out_ref[k, :, 1 * hidden_dim : 2 * hidden_dim] = f.astype(gd)
+        g_out_ref[k, :, 2 * hidden_dim : 3 * hidden_dim] = g.astype(gd)
+        g_out_ref[k, :, 3 * hidden_dim : 4 * hidden_dim] = o.astype(gd)
+    return h_next, c_next
+
+
 def _lstm_scan_kernel(xp_ref, mask_ref, w_ref, h_out_ref, c_out_ref,
                       h_scratch, c_scratch, *, hidden_dim: int, k_block: int,
-                      scan_desc: bool = False):
+                      scan_desc: bool = False, g_out_ref=None):
     """One grid step: consume x_proj[t*K:(t+1)*K], update carry K times.
 
     Processing K timesteps per grid step amortizes the pipeline's per-step
@@ -59,7 +89,8 @@ def _lstm_scan_kernel(xp_ref, mask_ref, w_ref, h_out_ref, c_out_ref,
     which runs K times inside. ``scan_desc`` walks the block last-to-first —
     combined with reversed BLOCK index maps this runs the whole scan in
     descending time with ZERO host-side flips (the BiLSTM backward
-    direction).
+    direction). With ``g_out_ref`` (the training forward) the activated
+    gates stream out too, feeding the Pallas adjoint kernel.
     """
     t = pl.program_id(0)
 
@@ -77,22 +108,9 @@ def _lstm_scan_kernel(xp_ref, mask_ref, w_ref, h_out_ref, c_out_ref,
         pre = xp_ref[k].astype(jnp.float32) + jnp.dot(
             h.astype(w_ref.dtype), w_ref[:], preferred_element_type=jnp.float32
         )
-        i = jax.nn.sigmoid(pre[:, 0 * hidden_dim : 1 * hidden_dim])
-        f = jax.nn.sigmoid(pre[:, 1 * hidden_dim : 2 * hidden_dim])
-        g = jnp.tanh(pre[:, 2 * hidden_dim : 3 * hidden_dim])
-        o = jax.nn.sigmoid(pre[:, 3 * hidden_dim : 4 * hidden_dim])
-        c_new = f * c + i * g
-        h_new = o * jnp.tanh(c_new)
-
         m = mask_ref[k].astype(jnp.float32)  # (B, 1) 1.0 where valid
-        h_next = m * h_new + (1.0 - m) * h
-        c_next = m * c_new + (1.0 - m) * c
-        # h outputs are ZEROED at padded positions in-kernel (m * h_next ==
-        # m * h_new) — saves the caller's full-array mask multiply + its
-        # adjoint; cs keeps carry semantics (the adjoint reads true c_t)
-        h_out_ref[k] = (m * h_new).astype(h_out_ref.dtype)
-        c_out_ref[k] = c_next.astype(c_out_ref.dtype)
-        return h_next, c_next
+        return _masked_cell_update(pre, h, c, m, hidden_dim, h_out_ref,
+                                   c_out_ref, k, g_out_ref)
 
     h, c = h_scratch[:], c_scratch[:]
     if k_block == 1:
@@ -165,55 +183,21 @@ def _forward_pallas(x_proj: jnp.ndarray, w_hh: jnp.ndarray, mask: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
-# Training forward: also emit activated gates (feeds the Pallas backward)
+# Training forward: the same kernel with the gates output bound (feeds the
+# Pallas backward — no recompute matmul there)
 # ---------------------------------------------------------------------------
 
 def _lstm_scan_train_kernel(xp_ref, mask_ref, w_ref, h_out_ref, c_out_ref,
                             g_out_ref, h_scratch, c_scratch, *,
                             hidden_dim: int, k_block: int,
                             scan_desc: bool = False):
-    """Forward recurrence that ALSO streams out the activated gates
-    (i, f, g, o) so the backward kernel needs no recompute matmul."""
-    t = pl.program_id(0)
-
-    @pl.when(t == 0)
-    def _init():
-        h_scratch[:] = jnp.zeros_like(h_scratch)
-        c_scratch[:] = jnp.zeros_like(c_scratch)
-
-    def one_step(j, carry):
-        k = k_block - 1 - j if scan_desc else j
-        h, c = carry
-        pre = xp_ref[k].astype(jnp.float32) + jnp.dot(
-            h.astype(w_ref.dtype), w_ref[:], preferred_element_type=jnp.float32
-        )
-        i = jax.nn.sigmoid(pre[:, 0 * hidden_dim : 1 * hidden_dim])
-        f = jax.nn.sigmoid(pre[:, 1 * hidden_dim : 2 * hidden_dim])
-        g = jnp.tanh(pre[:, 2 * hidden_dim : 3 * hidden_dim])
-        o = jax.nn.sigmoid(pre[:, 3 * hidden_dim : 4 * hidden_dim])
-        c_new = f * c + i * g
-        h_new = o * jnp.tanh(c_new)
-
-        m = mask_ref[k].astype(jnp.float32)
-        h_next = m * h_new + (1.0 - m) * h
-        c_next = m * c_new + (1.0 - m) * c
-        h_out_ref[k] = (m * h_new).astype(h_out_ref.dtype)  # zeroed pads
-        c_out_ref[k] = c_next.astype(c_out_ref.dtype)
-        gd = g_out_ref.dtype
-        g_out_ref[k, :, 0 * hidden_dim : 1 * hidden_dim] = i.astype(gd)
-        g_out_ref[k, :, 1 * hidden_dim : 2 * hidden_dim] = f.astype(gd)
-        g_out_ref[k, :, 2 * hidden_dim : 3 * hidden_dim] = g.astype(gd)
-        g_out_ref[k, :, 3 * hidden_dim : 4 * hidden_dim] = o.astype(gd)
-        return h_next, c_next
-
-    h, c = h_scratch[:], c_scratch[:]
-    if k_block == 1:
-        h, c = one_step(0, (h, c))
-    else:
-        h, c = jax.lax.fori_loop(0, k_block, one_step, (h, c),
-                                 unroll=k_block)
-    h_scratch[:] = h
-    c_scratch[:] = c
+    """_lstm_scan_kernel with the activated-gates stream bound (the output
+    ref arrives positionally between c_out and scratch)."""
+    _lstm_scan_kernel(
+        xp_ref, mask_ref, w_ref, h_out_ref, c_out_ref, h_scratch, c_scratch,
+        hidden_dim=hidden_dim, k_block=k_block, scan_desc=scan_desc,
+        g_out_ref=g_out_ref,
+    )
 
 
 def _pick_k_block(seq_len: int, stream_cols: int, batch: int, itemsize: int,
@@ -444,64 +428,6 @@ def _bwd(interpret, reverse, res, d_hs):
     return dpre, d_whh.astype(w_hh.dtype), None
 
 
-def _bwd_scan_reference(interpret, res, d_hs):
-    """LSTM adjoint as a reverse lax.scan, recomputing gates from (hs, cs).
-    Kept as the equivalence reference for the Pallas backward kernel."""
-    x_proj, w_hh, mask, hs, cs = res
-    seq_len, batch, four_h = x_proj.shape
-    hidden_dim = four_h // 4
-    dtype = x_proj.dtype
-    prec = matmul_precision(dtype)
-
-    h_prev = jnp.concatenate(
-        [jnp.zeros((1, batch, hidden_dim), dtype), hs[:-1]], axis=0
-    )
-    c_prev = jnp.concatenate(
-        [jnp.zeros((1, batch, hidden_dim), dtype), cs[:-1]], axis=0
-    )
-
-    def step(carry, inp):
-        dh_next, dc_next = carry
-        xp_t, m_t, hp, cp, c_t, dy = inp
-        m = m_t[:, None]
-
-        pre = xp_t + jnp.dot(hp, w_hh, precision=prec,
-                             preferred_element_type=dtype)
-        i = jax.nn.sigmoid(pre[:, 0 * hidden_dim : 1 * hidden_dim])
-        f = jax.nn.sigmoid(pre[:, 1 * hidden_dim : 2 * hidden_dim])
-        g = jnp.tanh(pre[:, 2 * hidden_dim : 3 * hidden_dim])
-        o = jax.nn.sigmoid(pre[:, 3 * hidden_dim : 4 * hidden_dim])
-        tanh_ct = jnp.tanh(c_t)
-
-        dh_total = dy + dh_next
-        # valid-step gradients
-        dc_total = dc_next + dh_total * o * (1.0 - tanh_ct * tanh_ct)
-        dpre_o = dh_total * tanh_ct * o * (1.0 - o)
-        dpre_f = dc_total * cp * f * (1.0 - f)
-        dpre_i = dc_total * g * i * (1.0 - i)
-        dpre_g = dc_total * i * (1.0 - g * g)
-        dpre = jnp.concatenate([dpre_i, dpre_f, dpre_g, dpre_o], axis=-1)
-        dpre = dpre * m  # masked steps contribute nothing
-        dh_prev_valid = jnp.dot(dpre, w_hh.T, precision=prec,
-                                preferred_element_type=dtype)
-        dc_prev_valid = dc_total * f
-        # masked steps: identity carry -> adjoints pass straight through
-        dh_prev = m * dh_prev_valid + (1.0 - m) * dh_total
-        dc_prev = m * dc_prev_valid + (1.0 - m) * dc_next
-        # recurrent weight grad contribution
-        dw = jnp.einsum("bh,bk->hk", hp, dpre, precision=prec)
-        return (dh_prev, dc_prev), (dpre, dw)
-
-    zeros = jnp.zeros((batch, hidden_dim), dtype)
-    (_, _), (d_xproj, dws) = jax.lax.scan(
-        step, (zeros, zeros),
-        (x_proj, mask.astype(dtype), h_prev, c_prev, cs, d_hs),
-        reverse=True,
-    )
-    d_whh = dws.sum(axis=0)
-    return d_xproj, d_whh.astype(w_hh.dtype), None
-
-
 pallas_lstm_scan.defvjp(_fwd, _bwd)
 
 
@@ -544,25 +470,10 @@ def _lstm_scan_fusedin_kernel(x_ref, mask_ref, wih_ref, b_ref, whh_ref,
             + jnp.dot(h.astype(wdt), whh_ref[:],
                       preferred_element_type=jnp.float32)
         )
-        i = jax.nn.sigmoid(pre[:, 0 * hidden_dim : 1 * hidden_dim])
-        f = jax.nn.sigmoid(pre[:, 1 * hidden_dim : 2 * hidden_dim])
-        g = jnp.tanh(pre[:, 2 * hidden_dim : 3 * hidden_dim])
-        o = jax.nn.sigmoid(pre[:, 3 * hidden_dim : 4 * hidden_dim])
-        c_new = f * c + i * g
-        h_new = o * jnp.tanh(c_new)
-
         m = mask_ref[k].astype(jnp.float32)
-        h_next = m * h_new + (1.0 - m) * h
-        c_next = m * c_new + (1.0 - m) * c
-        h_out_ref[k] = (m * h_new).astype(h_out_ref.dtype)  # zeroed pads
-        c_out_ref[k] = c_next.astype(c_out_ref.dtype)
-        if train_gates:
-            gd = g_out_ref.dtype
-            g_out_ref[k, :, 0 * hidden_dim : 1 * hidden_dim] = i.astype(gd)
-            g_out_ref[k, :, 1 * hidden_dim : 2 * hidden_dim] = f.astype(gd)
-            g_out_ref[k, :, 2 * hidden_dim : 3 * hidden_dim] = g.astype(gd)
-            g_out_ref[k, :, 3 * hidden_dim : 4 * hidden_dim] = o.astype(gd)
-        return h_next, c_next
+        return _masked_cell_update(
+            pre, h, c, m, hidden_dim, h_out_ref, c_out_ref, k,
+            g_out_ref if train_gates else None)
 
     h, c = h_scratch[:], c_scratch[:]
     if k_block == 1:

@@ -79,6 +79,11 @@ def make_pipeline_train_step(
     compute_dtype=jnp.float32,
     grad_norm: float = 0.0,
     accum_steps: int = 1,
+    use_specaug: bool = False,
+    specaug_freq: int = 6,
+    specaug_time: int = 200,
+    specaug_iid: bool = False,
+    nan_guard: bool = True,
 ) -> Callable:
     """Build a 2-stage pipelined train step.
 
@@ -97,6 +102,14 @@ def make_pipeline_train_step(
     if devices is None:
         devices = jax.devices()[:2]
     d0, d1 = devices[0], devices[1]
+
+    if use_specaug:
+        from attention_based_e2e_asr_dnn_tpu.data.specaug import specaugment
+
+        @jax.jit
+        def _augment(rng, x):
+            return specaugment(rng, x, specaug_freq, specaug_time,
+                               specaug_iid)
 
     def _listener_fwd(p, rng, x, lx):
         return listener_apply(p, cfg.listener, rng, x.astype(compute_dtype),
@@ -128,12 +141,24 @@ def make_pipeline_train_step(
         return vjp(d_enc)[0]
 
     @jax.jit
-    def apply_updates(p, opt_state, grads, lr):
+    def apply_updates(p, opt_state, grads, lr, ok):
+        """Optimizer update with the same non-finite no-op guard as the
+        single-device step (training/steps.py:115-131): when ``ok`` is False
+        the update is zeroed AND the optimizer state keeps its old value."""
         from attention_based_e2e_asr_dnn_tpu.training.steps import _set_lr
         import optax
 
         opt_state = _set_lr(opt_state, lr, accum_steps)
-        updates, opt_state = tx.update(grads, opt_state, p)
+        grads = jax.tree.map(lambda g: jnp.where(ok, g, jnp.zeros_like(g)),
+                             grads)
+        updates, new_opt_state = tx.update(grads, opt_state, p)
+        updates = jax.tree.map(lambda u: jnp.where(ok, u, jnp.zeros_like(u)),
+                               updates)
+        opt_state = jax.tree.map(
+            lambda new, old: jnp.where(ok, new, old)
+            if hasattr(new, "shape") else new,
+            new_opt_state, opt_state,
+        )
         return optax.apply_updates(p, updates), opt_state
 
     tree_add = jax.jit(lambda a, b: jax.tree.map(jnp.add, a, b))
@@ -147,7 +172,11 @@ def make_pipeline_train_step(
             raise ValueError(
                 f"batch {batch} not divisible by {n_microbatches} microbatches")
         mb = batch // n_microbatches
-        rng, *mb_rngs = jax.random.split(state.rng, 2 * n_microbatches + 1)
+        rng, aug_rng, *mb_rngs = jax.random.split(
+            state.rng, 2 * n_microbatches + 2)
+        if use_specaug:
+            x = _augment(jax.device_put(aug_rng, d0),
+                         jax.device_put(jnp.asarray(x), d0))
 
         # ---- fill the pipe: dispatch every microbatch's stage-0 forward ----
         encs = []
@@ -191,22 +220,24 @@ def make_pipeline_train_step(
         g_ls_acc = tree_scale(g_ls_acc, jax.device_put(inv, d0))
         loss = loss_sum * inv
 
+        # cross-stage GLOBAL norm: only two scalars cross the wire. Feeds
+        # both the clip and the non-finite no-op guard (steps.py parity).
+        total_sq = (sq_norm(g_ls_acc) + jax.device_put(sq_norm(g_sp_acc), d0))
+        gnorm = jnp.sqrt(total_sq)
+        ok = jnp.isfinite(gnorm) if nan_guard else jnp.asarray(True)
         if grad_norm and grad_norm > 0.0:
-            # cross-stage GLOBAL norm: only two scalars cross the wire
-            total_sq = (sq_norm(g_ls_acc)
-                        + jax.device_put(sq_norm(g_sp_acc), d0))
-            gnorm = jnp.sqrt(total_sq)
             scale = jnp.minimum(1.0, grad_norm / (gnorm + 1e-12))
             g_ls_acc = tree_scale(g_ls_acc, scale)
             g_sp_acc = tree_scale(g_sp_acc, jax.device_put(scale, d1))
 
         p_sp, opt_sp = apply_updates(state.params_speller, state.opt_speller,
-                                     g_sp_acc, lr)
+                                     g_sp_acc, lr, jax.device_put(ok, d1))
         p_ls, opt_ls = apply_updates(state.params_listener, state.opt_listener,
-                                     g_ls_acc, lr)
+                                     g_ls_acc, lr, ok)
         new_state = PipelineState(p_ls, p_sp, opt_ls, opt_sp, rng)
         return new_state, {"loss": loss, "ppl": jnp.exp(loss),
-                           "n_tokens": tok_sum}
+                           "n_tokens": tok_sum, "grad_norm": gnorm,
+                           "finite": ok}
 
     return step
 

@@ -109,6 +109,12 @@ class Trainer:
                 raise ValueError(
                     "pipeline parallelism does not support the dropout "
                     "scheduler (stage programs use the static model config)")
+            if self.accu_grad > 1:
+                raise ValueError(
+                    "pipeline parallelism does not support accu_grad > 1 "
+                    "(the cross-stage clip would apply per batch, before "
+                    "accumulation — different optimizer semantics); use "
+                    "n_microbatches for the same memory relief")
 
         # optimizer (registry parity, src/train.py:71-77). Pipeline mode
         # clips by the CROSS-STAGE global norm inside the pipeline step, so
@@ -201,14 +207,16 @@ class Trainer:
                 compute_dtype=self.compute_dtype,
                 grad_norm=self.grad_norm,
                 accum_steps=self.accu_grad,
+                use_specaug=self.use_specaug,
+                specaug_freq=int(getattr(self.trncfgs, "specaug_freq", 6)),
+                specaug_time=int(getattr(self.trncfgs, "specaug_time", 200)),
+                specaug_iid=bool(getattr(self.trncfgs, "specaug_iid", False)),
             )
 
             def train_step(state, x, lx, y, ly, tf_rate, lr,
                            init_force=False):
                 del init_force  # rejected at construction time
                 state, metrics = pipe_step(state, x, lx, y, ly, tf_rate, lr)
-                metrics = {**metrics, "grad_norm": jnp.zeros(()),
-                           "finite": jnp.asarray(True)}
                 return state, metrics, None
 
             self.train_step = train_step
@@ -250,24 +258,33 @@ class Trainer:
             ThreadedPrefetcher,
         )
 
+        prefetcher = None
         if int(getattr(self.trncfgs, "prefetch_depth", 2)) > 0:
-            batch_iter = ThreadedPrefetcher(
+            prefetcher = ThreadedPrefetcher(
                 batch_iter, depth=int(getattr(self.trncfgs, "prefetch_depth", 2))
             )
+            batch_iter = prefetcher
 
         queue = deque()
-        for bt in batch_iter:
-            y, ly = self._strip_sos(bt.y, bt.ly)
-            ly = np.where(bt.indices >= 0, ly, 0)  # repeat-padded rows: no loss
-            device_batch = self.shard_batch(
-                (jnp.asarray(bt.x), jnp.asarray(bt.lx.astype(np.int32)),
-                 jnp.asarray(y.astype(np.int32)), jnp.asarray(ly.astype(np.int32)))
-            )
-            queue.append((device_batch, y, ly, bt.indices))
-            if len(queue) >= depth:
+        try:
+            for bt in batch_iter:
+                y, ly = self._strip_sos(bt.y, bt.ly)
+                ly = np.where(bt.indices >= 0, ly, 0)  # repeat-padded: no loss
+                device_batch = self.shard_batch(
+                    (jnp.asarray(bt.x), jnp.asarray(bt.lx.astype(np.int32)),
+                     jnp.asarray(y.astype(np.int32)),
+                     jnp.asarray(ly.astype(np.int32)))
+                )
+                queue.append((device_batch, y, ly, bt.indices))
+                if len(queue) >= depth:
+                    yield queue.popleft()
+            while queue:
                 yield queue.popleft()
-        while queue:
-            yield queue.popleft()
+        finally:
+            # unblock + drain the worker if the consumer bails early (crash
+            # save, KeyboardInterrupt, a test breaking out of the loop)
+            if prefetcher is not None:
+                prefetcher.close()
 
     def _progress(self, iterable, desc: str):
         """tqdm batch bar when on a tty (reference: src/train.py:110)."""

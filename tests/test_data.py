@@ -242,3 +242,22 @@ def test_threaded_prefetcher_preserves_order_and_errors(tmp_path):
         assert False, "expected ValueError"
     except ValueError as e:
         assert "assembler failed" in str(e)
+
+
+def test_threaded_prefetcher_close_unblocks_worker():
+    """An abandoned consumer must be able to shut the worker down — without
+    close() the thread would block forever on a full queue."""
+    import itertools
+    import time
+
+    from attention_based_e2e_asr_dnn_tpu.data.batching import (
+        ThreadedPrefetcher,
+    )
+
+    pf = ThreadedPrefetcher(iter(itertools.repeat(object())), depth=2)
+    next(pf)  # consumer takes one, then abandons
+    pf.close()
+    deadline = time.time() + 3.0
+    while pf._thread.is_alive() and time.time() < deadline:
+        time.sleep(0.05)
+    assert not pf._thread.is_alive()

@@ -186,3 +186,25 @@ def test_train_cli_with_pipeline_parallelism(tmp_path):
 
     np.testing.assert_allclose(losses["pipeline"], losses["plain"],
                                rtol=2e-3)
+
+
+def test_pipeline_nan_guard_is_true_noop():
+    """A non-finite batch must leave BOTH stages' params untouched (the
+    single-device step's guard semantics, steps.py:115-131)."""
+    cfg = _cfg()
+    params = las_init(jax.random.key(0), cfg)
+    tx = build_optimizer("adamw", {"lr": 1e-3}, grad_norm=1e9)
+    d = jax.devices()[:2]
+    state = init_pipeline_state(params, tx, jax.random.key(1), devices=d)
+    step = make_pipeline_train_step(cfg, tx, devices=d, n_microbatches=2,
+                                    grad_norm=5.0)
+    x, lx, y, ly = _batch()
+    x_bad = x.copy()
+    x_bad[0, 0, 0] = np.inf
+    before, _ = jax.flatten_util.ravel_pytree(
+        jax.device_get(state.params))
+    state, metrics = step(state, x_bad, lx, y, ly, jnp.asarray(1.0),
+                          jnp.asarray(1e-3))
+    assert not bool(metrics["finite"])
+    after, _ = jax.flatten_util.ravel_pytree(jax.device_get(state.params))
+    np.testing.assert_array_equal(np.asarray(after), np.asarray(before))

@@ -227,7 +227,20 @@ def main():
 
     # ---- Phase 2: milestone -> Rewriter training data ------------------
     mst_dir = os.path.join(las_exp, "milestones")
-    milestones = sorted(os.listdir(mst_dir)) if os.path.isdir(mst_dir) else []
+
+    def _epoch_of(name: str) -> int:
+        import re
+
+        m = re.search(r"epoch\[(\d+)\]", name)
+        return int(m.group(1)) if m else -1
+
+    # NUMERIC epoch sort: lexicographic would rank epoch[19] before epoch[9]
+    milestones = sorted(
+        (f for f in os.listdir(mst_dir) if f.endswith(".ckpt")),
+        key=_epoch_of,
+    ) if os.path.isdir(mst_dir) else []
+    if not milestones:
+        raise FileNotFoundError(f"no milestone checkpoints in {mst_dir}")
     want = f"epoch[{args.milestone_epoch}].ckpt"
     mst = os.path.join(mst_dir, want if want in milestones else milestones[0])
     # preds dir must live under the run for the ckpts->preds path rewrite
