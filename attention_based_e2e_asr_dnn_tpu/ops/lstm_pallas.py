@@ -414,17 +414,20 @@ def _bwd(interpret, reverse, res, d_hs):
 
     zero_row = jnp.zeros((1, batch, hidden_dim), dtype)
     if reverse:  # scan-previous of step t is t+1 in a descending-time scan
-        h_prev = jnp.concatenate([hs[1:], zero_row], axis=0)
         c_prev = jnp.concatenate([cs[1:], zero_row], axis=0)
     else:
-        h_prev = jnp.concatenate([zero_row, hs[:-1]], axis=0)
         c_prev = jnp.concatenate([zero_row, cs[:-1]], axis=0)
 
     dpre = _backward_pallas(w_hh, mask, gates, cs, c_prev,
                             d_hs.astype(dtype), interpret, reverse=reverse)
-    # weight gradient as ONE MXU matmul over all (T*B) rows
-    d_whh = jnp.einsum("tbh,tbk->hk", h_prev, dpre, precision=prec,
-                       preferred_element_type=jnp.float32)
+    # weight gradient as ONE MXU matmul over all (T*B) rows — sliced form
+    # (h_{-1} = 0 contributes nothing), skipping the h_prev concat copy
+    if reverse:
+        d_whh = jnp.einsum("tbh,tbk->hk", hs[1:], dpre[:-1], precision=prec,
+                           preferred_element_type=jnp.float32)
+    else:
+        d_whh = jnp.einsum("tbh,tbk->hk", hs[:-1], dpre[1:], precision=prec,
+                           preferred_element_type=jnp.float32)
     return dpre, d_whh.astype(w_hh.dtype), None
 
 
@@ -571,16 +574,18 @@ def _fusedin_bwd(interpret, reverse, res, d_hs):
 
     zero_row = jnp.zeros((1, batch, hidden_dim), dtype)
     if reverse:
-        h_prev = jnp.concatenate([hs[1:], zero_row], axis=0)
         c_prev = jnp.concatenate([cs[1:], zero_row], axis=0)
     else:
-        h_prev = jnp.concatenate([zero_row, hs[:-1]], axis=0)
         c_prev = jnp.concatenate([zero_row, cs[:-1]], axis=0)
 
     dpre = _backward_pallas(w_hh, mask, gates, cs, c_prev,
                             d_hs.astype(dtype), interpret, reverse=reverse)
-    d_whh = jnp.einsum("tbh,tbk->hk", h_prev, dpre, precision=prec,
-                       preferred_element_type=jnp.float32)
+    if reverse:
+        d_whh = jnp.einsum("tbh,tbk->hk", hs[1:], dpre[:-1], precision=prec,
+                           preferred_element_type=jnp.float32)
+    else:
+        d_whh = jnp.einsum("tbh,tbk->hk", hs[:-1], dpre[1:], precision=prec,
+                           preferred_element_type=jnp.float32)
     d_wih = jnp.einsum("tbi,tbk->ik", x, dpre, precision=prec,
                        preferred_element_type=jnp.float32)
     d_b = jnp.sum(dpre, axis=(0, 1), dtype=jnp.float32)
