@@ -220,10 +220,11 @@ def speller_apply(
     batch, enc_max_len, _ = enc_h.shape
     if (
         cfg.decoder_impl == "pallas"
-        and train
-        and dec_y is not None
         and not init_force
+        and (dec_y is not None if train else dec_y is None)
     ):
+        # train: teacher-forced decode over dec_y; eval: free-running greedy
+        # over CHR_MAX_STEPS — both run in the fused kernel when blockable
         from attention_based_e2e_asr_dnn_tpu.ops.speller_pallas import (
             fused_decode_available,
             speller_apply_fused,

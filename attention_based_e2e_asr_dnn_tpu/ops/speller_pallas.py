@@ -775,7 +775,9 @@ def speller_apply_fused(params: dict, cfg, rng, enc_h, enc_l, dec_y,
         interpret = _auto_interpret()
     batch, enc_max_len, _ = enc_h.shape
     dtype = enc_h.dtype
-    steps = dec_y.shape[1]
+    # dec_y None = free-running eval decode: CHR_MAX_STEPS greedy steps, no
+    # teacher forcing, no dropout (reference src/models.py:300-386 semantics)
+    steps = dec_y.shape[1] if dec_y is not None else cfg.CHR_MAX_STEPS
     heads = cfg.att_heads
     proj = cfg.att_proj_dim
     h1dim = cfg.dec_lstm_hid_dim
@@ -794,11 +796,14 @@ def speller_apply_fused(params: dict, cfg, rng, enc_h, enc_l, dec_y,
     else:
         coins = jnp.full((steps,), 2.0)
         step_rngs = None
-    use_gold = coins <= tf_rate                              # (steps,)
-    gold_ids = jnp.concatenate(
-        [jnp.zeros((batch, 1), dec_y.dtype), dec_y[:, :-1]], axis=1
-    ).T.astype(jnp.float32)                                  # (T, B)
-    gold = jnp.where(use_gold[:, None], gold_ids, -1.0)[..., None]  # (T,B,1)
+    if dec_y is not None:
+        use_gold = coins <= tf_rate                          # (steps,)
+        gold_ids = jnp.concatenate(
+            [jnp.zeros((batch, 1), dec_y.dtype), dec_y[:, :-1]], axis=1
+        ).T.astype(jnp.float32)                              # (T, B)
+        gold = jnp.where(use_gold[:, None], gold_ids, -1.0)[..., None]
+    else:
+        gold = jnp.full((steps, batch, 1), -1.0, jnp.float32)  # never forced
 
     drop_rate = cfg.dec_lstm_dropout if train else 0.0
     use_dropout = bool(drop_rate > 0.0) and step_rngs is not None

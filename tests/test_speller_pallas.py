@@ -119,12 +119,16 @@ def test_speller_apply_routes_to_fused():
                                tf_rate=0.8, train=True)
     np.testing.assert_allclose(np.asarray(out_routed.logits),
                                np.asarray(out_scan.logits), atol=2e-5)
-    # eval decode (free-running) must take the scan path and agree exactly
+    # eval decode (free-running) routes through the kernel too and matches
+    # the scan free-run (CHR_MAX_STEPS greedy steps, no forcing/dropout)
     ev_scan = speller_apply(params, cfg, None, enc_h, enc_l, None, train=False)
     ev_routed = speller_apply(params, cfg_pallas, None, enc_h, enc_l, None,
                               train=False)
-    np.testing.assert_array_equal(np.asarray(ev_routed.logits),
-                                  np.asarray(ev_scan.logits))
+    np.testing.assert_allclose(np.asarray(ev_routed.logits),
+                               np.asarray(ev_scan.logits), atol=2e-5)
+    np.testing.assert_array_equal(
+        np.argmax(np.asarray(ev_routed.logits), -1),
+        np.argmax(np.asarray(ev_scan.logits), -1))
     # init_force falls back (the kernel does not implement the prior)
     if_scan = speller_apply(params, cfg, key, enc_h, enc_l, dec_y,
                             tf_rate=0.8, init_force=True, train=True)
