@@ -29,11 +29,13 @@ Batch is chunked into separate kernel launches (CHUNK examples each) so the
 K/V block has a truly constant index map — one VMEM copy, no double
 buffering of the multi-MB cache.
 
-Not supported in-kernel (callers fall back to the scan path):
-``init_force`` (early-epoch alignment prior, reference src/models.py:177-181),
-eval free-running decode (uses the early-exit paths in decoding/), and
-head layouts whose per-head width is not lane-aligned (d_head % 128 != 0
-with heads > 1).
+The kernel also serves the EVAL free-running decode (``dec_y=None``:
+CHR_MAX_STEPS greedy steps, no forcing/dropout). Not supported in-kernel
+(callers fall back to the scan path): ``init_force`` (early-epoch alignment
+prior, reference src/models.py:177-181) and head layouts whose per-head
+width is under 32 lanes. Inference/serving keep the early-exit while-loop
+decoders in decoding/ — all-finished early exit beats a fixed-length kernel
+on real traffic.
 """
 
 from __future__ import annotations
