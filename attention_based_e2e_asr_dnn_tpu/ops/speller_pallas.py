@@ -33,7 +33,7 @@ The kernel also serves the EVAL free-running decode (``dec_y=None``:
 CHR_MAX_STEPS greedy steps, no forcing/dropout). Not supported in-kernel
 (callers fall back to the scan path): ``init_force`` (early-epoch alignment
 prior, reference src/models.py:177-181) and head layouts whose per-head
-width is under 32 lanes. Inference/serving keep the early-exit while-loop
+width is not a multiple of 32 lanes. Inference/serving keep the early-exit while-loop
 decoders in decoding/ — all-finished early exit beats a fixed-length kernel
 on real traffic.
 """
@@ -80,15 +80,19 @@ def _decode_fwd_kernel(
     wcls_ref, clsb_ref,
     # streamed per step
     gold_ref, m1_ref, m2_ref,
-    # outputs: streamed per step
-    logits_ref, sel_ref, gates1_ref, c1_ref, h1d_ref, gates2_ref, c2_ref,
-    h2d_ref, ctx_ref, *rest,
+    # outputs: logits, then (training only) the backward residuals, then the
+    # per-head attention weights, then scratch
+    logits_ref, *rest,
     heads: int, d_head: int, scale: float, h1dim: int, h2dim: int,
     sos_idx: int, use_dropout: bool, te_chunk: int,
+    save_residuals: bool = True,
 ):
-    n_wgts = heads
-    wgts_refs = rest[:n_wgts]
-    h1_s, c1_s, h2_s, c2_s, ctx_s, prev_s = rest[n_wgts:]
+    if save_residuals:
+        (sel_ref, gates1_ref, c1_ref, h1d_ref, gates2_ref, c2_ref, h2d_ref,
+         ctx_ref) = rest[:8]
+        rest = rest[8:]
+    wgts_refs = rest[:heads]
+    h1_s, c1_s, h2_s, c2_s, ctx_s, prev_s = rest[heads:]
     t = pl.program_id(0)
     wdt = k_ref.dtype
     te = k_ref.shape[1]
@@ -109,7 +113,8 @@ def _decode_fwd_kernel(
         jnp.int32, prev_s.shape, 1).astype(jnp.float32)  # (int iota only)
     gold_oh = (iota_f == gold).astype(jnp.float32)       # (Bb, V)
     sel = jnp.where(gold >= 0.0, gold_oh, prev_s[:])     # (Bb, V)
-    sel_ref[0] = sel.astype(sel_ref.dtype)
+    if save_residuals:
+        sel_ref[0] = sel.astype(sel_ref.dtype)
 
     # ---- cell 1 (gate math fp32; same kernel convention as lstm_pallas) --
     pre1 = (
@@ -119,13 +124,14 @@ def _decode_fwd_kernel(
     )
     i1, f1, g1, o1, c1n, h1n = _gates_f32(pre1, c1_s[:], h1dim)
     h1d = h1n * m1_ref[0].astype(jnp.float32) if use_dropout else h1n
-    gd = gates1_ref.dtype
-    gates1_ref[0, :, 0 * h1dim: 1 * h1dim] = i1.astype(gd)
-    gates1_ref[0, :, 1 * h1dim: 2 * h1dim] = f1.astype(gd)
-    gates1_ref[0, :, 2 * h1dim: 3 * h1dim] = g1.astype(gd)
-    gates1_ref[0, :, 3 * h1dim: 4 * h1dim] = o1.astype(gd)
-    c1_ref[0] = c1n.astype(c1_ref.dtype)
-    h1d_ref[0] = h1d.astype(h1d_ref.dtype)
+    if save_residuals:
+        gd = gates1_ref.dtype
+        gates1_ref[0, :, 0 * h1dim: 1 * h1dim] = i1.astype(gd)
+        gates1_ref[0, :, 1 * h1dim: 2 * h1dim] = f1.astype(gd)
+        gates1_ref[0, :, 2 * h1dim: 3 * h1dim] = g1.astype(gd)
+        gates1_ref[0, :, 3 * h1dim: 4 * h1dim] = o1.astype(gd)
+        c1_ref[0] = c1n.astype(c1_ref.dtype)
+        h1d_ref[0] = h1d.astype(h1d_ref.dtype)
 
     # ---- cell 2 ----------------------------------------------------------
     pre2 = (
@@ -135,12 +141,13 @@ def _decode_fwd_kernel(
     )
     i2, f2, g2, o2, c2n, h2n = _gates_f32(pre2, c2_s[:], h2dim)
     h2d = h2n * m2_ref[0].astype(jnp.float32) if use_dropout else h2n
-    gates2_ref[0, :, 0 * h2dim: 1 * h2dim] = i2.astype(gd)
-    gates2_ref[0, :, 1 * h2dim: 2 * h2dim] = f2.astype(gd)
-    gates2_ref[0, :, 2 * h2dim: 3 * h2dim] = g2.astype(gd)
-    gates2_ref[0, :, 3 * h2dim: 4 * h2dim] = o2.astype(gd)
-    c2_ref[0] = c2n.astype(c2_ref.dtype)
-    h2d_ref[0] = h2d.astype(h2d_ref.dtype)
+    if save_residuals:
+        gates2_ref[0, :, 0 * h2dim: 1 * h2dim] = i2.astype(gd)
+        gates2_ref[0, :, 1 * h2dim: 2 * h2dim] = f2.astype(gd)
+        gates2_ref[0, :, 2 * h2dim: 3 * h2dim] = g2.astype(gd)
+        gates2_ref[0, :, 3 * h2dim: 4 * h2dim] = o2.astype(gd)
+        c2_ref[0] = c2n.astype(c2_ref.dtype)
+        h2d_ref[0] = h2d.astype(h2d_ref.dtype)
 
     # ---- attention (masked softmax over VMEM-resident K/V) ---------------
     q = jnp.dot(h2d.astype(wdt), wq_ref[:],
@@ -171,7 +178,8 @@ def _decode_fwd_kernel(
             cparts.append(jnp.sum(wc * vc, axis=1, dtype=jnp.float32))
         ctx_parts.append(sum(cparts))
     ctx_new = jnp.concatenate(ctx_parts, axis=1) if heads > 1 else ctx_parts[0]
-    ctx_ref[0] = ctx_new.astype(ctx_ref.dtype)
+    if save_residuals:
+        ctx_ref[0] = ctx_new.astype(ctx_ref.dtype)
 
     # ---- tied classifier + greedy feedback -------------------------------
     dec_out = jnp.concatenate([q, ctx_new], axis=1).astype(wdt)   # (Bb, 2P)
@@ -393,9 +401,12 @@ def _const2(_t):
 
 def _fwd_chunk(k, v, bias, ctx0, h10, c10, h20, c20, embw1, wc1, whh1, wih2,
                whh2, b2, wq, bq, wcls, clsb, gold, m1, m2, *, heads, scale,
-               sos_idx, use_dropout, te_chunk, interpret):
+               sos_idx, use_dropout, te_chunk, interpret,
+               save_residuals=True):
     """One forward launch over a (T, Bb, ·) chunk. Returns the streamed
-    outputs; all layouts time-major."""
+    outputs; all layouts time-major. ``save_residuals=False`` (the eval
+    free-run) skips every backward-residual stream — only logits and the
+    per-head attention weights come back."""
     n_steps, bb, _ = gold.shape
     te, proj = k.shape[1], k.shape[2]
     h1dim = whh1.shape[0]
@@ -414,7 +425,7 @@ def _fwd_chunk(k, v, bias, ctx0, h10, c10, h20, c20, embw1, wc1, whh1, wih2,
     kernel = functools.partial(
         _decode_fwd_kernel, heads=heads, d_head=d_head, scale=scale,
         h1dim=h1dim, h2dim=h2dim, sos_idx=sos_idx, use_dropout=use_dropout,
-        te_chunk=te_chunk,
+        te_chunk=te_chunk, save_residuals=save_residuals,
     )
     out = pl.pallas_call(
         kernel,
@@ -442,21 +453,23 @@ def _fwd_chunk(k, v, bias, ctx0, h10, c10, h20, c20, embw1, wc1, whh1, wih2,
             m_spec[0], m_spec[1],                      # m1, m2
         ],
         out_specs=(
-            [stream(vp), stream(vp), stream(4 * h1dim), stream(h1dim),
-             stream(h1dim), stream(4 * h2dim), stream(h2dim), stream(h2dim),
-             stream(proj)]
+            [stream(vp)]
+            + ([stream(vp), stream(4 * h1dim), stream(h1dim),
+                stream(h1dim), stream(4 * h2dim), stream(h2dim),
+                stream(h2dim), stream(proj)] if save_residuals else [])
             + [stream(te) for _ in range(heads)]
         ),
         out_shape=(
-            [jax.ShapeDtypeStruct((n_steps, bb, vp), dt),        # logits
-             jax.ShapeDtypeStruct((n_steps, bb, vp), dt),        # sel one-hot
-             jax.ShapeDtypeStruct((n_steps, bb, 4 * h1dim), dt),  # gates1
-             jax.ShapeDtypeStruct((n_steps, bb, h1dim), dt),     # c1
-             jax.ShapeDtypeStruct((n_steps, bb, h1dim), dt),     # h1d
-             jax.ShapeDtypeStruct((n_steps, bb, 4 * h2dim), dt),  # gates2
-             jax.ShapeDtypeStruct((n_steps, bb, h2dim), dt),     # c2
-             jax.ShapeDtypeStruct((n_steps, bb, h2dim), dt),     # h2d
-             jax.ShapeDtypeStruct((n_steps, bb, proj), dt)]      # ctx
+            [jax.ShapeDtypeStruct((n_steps, bb, vp), dt)]        # logits
+            + ([jax.ShapeDtypeStruct((n_steps, bb, vp), dt),     # sel one-hot
+                jax.ShapeDtypeStruct((n_steps, bb, 4 * h1dim), dt),  # gates1
+                jax.ShapeDtypeStruct((n_steps, bb, h1dim), dt),  # c1
+                jax.ShapeDtypeStruct((n_steps, bb, h1dim), dt),  # h1d
+                jax.ShapeDtypeStruct((n_steps, bb, 4 * h2dim), dt),  # gates2
+                jax.ShapeDtypeStruct((n_steps, bb, h2dim), dt),  # c2
+                jax.ShapeDtypeStruct((n_steps, bb, h2dim), dt),  # h2d
+                jax.ShapeDtypeStruct((n_steps, bb, proj), dt)]   # ctx
+               if save_residuals else [])
             + [jax.ShapeDtypeStruct((n_steps, bb, te), dt)
                for _ in range(heads)]                            # wgts/head
         ),
@@ -570,15 +583,16 @@ def fused_decode(static, k, v, bias, ctx0, h10, c10, h20, c20, embw1, wc1,
     """
     outs = _fused_forward(static, k, v, bias, ctx0, h10, c10, h20, c20,
                           embw1, wc1, whh1, wih2, whh2, b2, wq, bq, wcls,
-                          clsb, gold, m1, m2)
+                          clsb, gold, m1, m2, save_residuals=False)
     heads = static[0]
     logits = outs[0]
-    wgts = jnp.stack(outs[9:9 + heads], axis=2)  # (T, B, heads, Te)
+    wgts = jnp.stack(outs[1:1 + heads], axis=2)  # (T, B, heads, Te)
     return logits, wgts
 
 
 def _fused_forward(static, k, v, bias, ctx0, h10, c10, h20, c20, embw1, wc1,
-                   whh1, wih2, whh2, b2, wq, bq, wcls, clsb, gold, m1, m2):
+                   whh1, wih2, whh2, b2, wq, bq, wcls, clsb, gold, m1, m2,
+                   save_residuals=True):
     heads, scale, sos_idx, use_dropout, chunk, te_chunk, interpret = static
     batch = k.shape[0]
     parts = []
@@ -590,6 +604,7 @@ def _fused_forward(static, k, v, bias, ctx0, h10, c10, h20, c20, embw1, wc1,
             gold[:, sl], m1[:, sl], m2[:, sl],
             heads=heads, scale=scale, sos_idx=sos_idx,
             use_dropout=use_dropout, te_chunk=te_chunk, interpret=interpret,
+            save_residuals=save_residuals,
         ))
     # concatenate chunks along batch (axis 1 of the time-major streams)
     return [jnp.concatenate([p[i] for p in parts], axis=1)
@@ -757,8 +772,10 @@ def fused_decode_available(cfg, batch: int, enc_len: int,
 def speller_apply_fused(params: dict, cfg, rng, enc_h, enc_l, dec_y,
                         tf_rate=1.0, train: bool = True,
                         interpret: bool | None = None):
-    """Fused-kernel twin of models/las.py::speller_apply (training decode,
-    no init_force). Identical semantics: the same per-step batch-shared
+    """Fused-kernel twin of models/las.py::speller_apply — the training
+    decode AND the eval free-run (``dec_y=None``: CHR_MAX_STEPS greedy
+    steps, no forcing/dropout, residual streams skipped); no init_force.
+    Identical semantics: the same per-step batch-shared
     teacher-forcing coins and per-step dropout masks are drawn from the same
     RNG stream, so (up to kernel fp32 gate math vs the scan's compute-dtype
     math) outputs match the scan path.

@@ -124,11 +124,11 @@ def test_speller_apply_routes_to_fused():
     ev_scan = speller_apply(params, cfg, None, enc_h, enc_l, None, train=False)
     ev_routed = speller_apply(params, cfg_pallas, None, enc_h, enc_l, None,
                               train=False)
+    # logits allclose across all chained steps already implies the greedy
+    # feedback never diverged; an exact-argmax assert would be fragile to
+    # near-ties on these random untrained weights
     np.testing.assert_allclose(np.asarray(ev_routed.logits),
                                np.asarray(ev_scan.logits), atol=2e-5)
-    np.testing.assert_array_equal(
-        np.argmax(np.asarray(ev_routed.logits), -1),
-        np.argmax(np.asarray(ev_scan.logits), -1))
     # init_force falls back (the kernel does not implement the prior)
     if_scan = speller_apply(params, cfg, key, enc_h, enc_l, dec_y,
                             tf_rate=0.8, init_force=True, train=True)
