@@ -46,6 +46,18 @@ class Config:
         return f"Config({json.dumps(self._raw, indent=2, default=str)})"
 
 
+def cfg_float(cfg: Any, key: str, default: float) -> float:
+    """Read a float config value, using ``default`` only when the key is absent
+    or explicitly null.
+
+    Unlike ``getattr(cfg, key, None) or default``, an explicit ``0`` survives —
+    0 is the documented "disable the cap" value for ``max_len_factor``
+    (decoding/greedy.py:81, decoding/beam.py:104).
+    """
+    value = getattr(cfg, key, None)
+    return default if value is None else float(value)
+
+
 def load_yaml(path: str) -> dict:
     with open(path, "r") as fh:
         return yaml.safe_load(fh)

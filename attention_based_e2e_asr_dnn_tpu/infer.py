@@ -26,7 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from attention_based_e2e_asr_dnn_tpu.config import load_config
+from attention_based_e2e_asr_dnn_tpu.config import cfg_float, load_config
 from attention_based_e2e_asr_dnn_tpu.data.batching import BucketBatcher
 from attention_based_e2e_asr_dnn_tpu.data.datasets import AsrTestDataset, ToyTestDataset
 from attention_based_e2e_asr_dnn_tpu.models.las import las_apply, las_config_from_dicts
@@ -86,7 +86,7 @@ def infer_one_checkpoint(model_cfgs, infcfgs, checkpoint_filepath, batcher,
 
     beam = int(getattr(infcfgs, "beam_size", 0) or 0)
     # degenerate-repeat cap in chars per encoder frame; 0 disables
-    len_factor = float(getattr(infcfgs, "max_len_factor", None) or 3.0)
+    len_factor = cfg_float(infcfgs, "max_len_factor", 3.0)
     beam_step = None
     if beam > 1:
         from attention_based_e2e_asr_dnn_tpu.decoding.beam import make_las_beam_step

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from attention_based_e2e_asr_dnn_tpu import constants
-from attention_based_e2e_asr_dnn_tpu.config import load_config
+from attention_based_e2e_asr_dnn_tpu.config import cfg_float, load_config
 from attention_based_e2e_asr_dnn_tpu.data.batching import BucketBatcher
 from attention_based_e2e_asr_dnn_tpu.data.datasets import LmTestDataset
 from attention_based_e2e_asr_dnn_tpu.models.rewriter import RewriterConfig, rewriter_apply
@@ -54,7 +54,7 @@ def infer_one_checkpoint(model_cfgs, tstcfgs, checkpoint_filepath, batcher,
 
         step = make_rewriter_greedy_step(
             lm_cfg,
-            max_len_factor=float(getattr(tstcfgs, "max_len_factor", None) or 3.0),
+            max_len_factor=cfg_float(tstcfgs, "max_len_factor", 3.0),
         )
     else:
         step = make_infer_step(apply_fn)

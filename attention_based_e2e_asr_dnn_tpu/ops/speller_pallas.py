@@ -748,25 +748,43 @@ def _pick_te_chunk(te: int) -> int:
     return te
 
 
-def fused_decode_available(cfg, batch: int, enc_len: int,
-                           interpret: bool | None = None) -> bool:
-    """Shape/tiling gate for the fused decoder (TPU blocked layouts)."""
+def fused_decode_unavailable_reason(cfg, batch: int, enc_len: int,
+                                    interpret: bool | None = None):
+    """Why the fused decoder can't serve this shape, or None if it can.
+
+    The constraints are TPU blocked-layout requirements: 32/64-wide head
+    slices verified to lower on Mosaic (sub-lane-width vector slicing);
+    below 32 untested -> scan fallback.
+    """
     if interpret is None:
         interpret = _auto_interpret()
     if interpret:
-        return True
+        return None
     d_head = cfg.att_proj_dim // cfg.att_heads
-    return (
-        batch % 8 == 0
-        and enc_len % 16 == 0
-        and cfg.att_proj_dim % 128 == 0
-        # 32/64-wide head slices verified to lower on Mosaic (sub-lane-width
-        # vector slicing); below 32 untested -> scan fallback
-        and d_head % 32 == 0
-        and cfg.dec_lstm_hid_dim % 128 == 0
-        and cfg.dec_lstm_out_dim % 128 == 0
-        and pick_chunk(batch, enc_len, cfg.att_proj_dim, False) > 0
-    )
+    if batch % 8 != 0:
+        return f"batch {batch} not a multiple of 8"
+    if enc_len % 16 != 0:
+        return f"encoder length {enc_len} not a multiple of 16"
+    if cfg.att_proj_dim % 128 != 0:
+        return f"att_proj_dim {cfg.att_proj_dim} not a multiple of 128"
+    if d_head % 32 != 0:
+        return (f"d_head {d_head} (= att_proj_dim/att_heads) not a multiple "
+                "of 32")
+    if cfg.dec_lstm_hid_dim % 128 != 0:
+        return f"dec_lstm_hid_dim {cfg.dec_lstm_hid_dim} not a multiple of 128"
+    if cfg.dec_lstm_out_dim % 128 != 0:
+        return f"dec_lstm_out_dim {cfg.dec_lstm_out_dim} not a multiple of 128"
+    if pick_chunk(batch, enc_len, cfg.att_proj_dim, False) <= 0:
+        return (f"no VMEM-fitting batch chunk for (B={batch}, Te={enc_len}, "
+                f"proj={cfg.att_proj_dim})")
+    return None
+
+
+def fused_decode_available(cfg, batch: int, enc_len: int,
+                           interpret: bool | None = None) -> bool:
+    """Shape/tiling gate for the fused decoder (TPU blocked layouts)."""
+    return fused_decode_unavailable_reason(cfg, batch, enc_len,
+                                           interpret) is None
 
 
 def speller_apply_fused(params: dict, cfg, rng, enc_h, enc_l, dec_y,

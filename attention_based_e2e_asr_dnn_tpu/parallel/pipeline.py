@@ -89,8 +89,14 @@ def make_pipeline_train_step(
 
     Returns ``step(state, x, lx, y, ly, tf_rate, lr) -> (state, metrics)``
     where the global batch is split into ``n_microbatches`` along axis 0.
-    Loss/grad semantics match the single-device step: the masked CE is summed
-    over microbatches token-weighted, exactly like one big batch.
+    Loss/grad semantics match the single-device step with randomness
+    quiesced (tf_rate=1.0, dropout=0, no SpecAugment): the masked CE is
+    summed over microbatches token-weighted, exactly like one big batch.
+    With tf_rate<1 or dropout>0 each microbatch draws its OWN
+    teacher-forcing coins and dropout masks from a per-microbatch rng, so
+    the pipelined trajectory is statistically equivalent to — but not
+    bitwise identical with — the single-device one (which shares one coin
+    per decode step across the whole batch).
 
     ``grad_norm > 0`` applies GLOBAL-norm clipping across BOTH stages (two
     scalar squared-norms cross the wire, nothing else) — identical semantics

@@ -211,7 +211,7 @@ def main(args):
         beam_decode = make_las_beam_step(
             las_cfg, beam_size=eval_beam, compute_dtype=compute_dtype,
             length_alpha=float(getattr(trncfgs, "length_alpha", 0.0) or 0.0),
-            max_len_factor=float(getattr(trncfgs, "max_len_factor", None) or 3.0),
+            max_len_factor=cfg_float(trncfgs, "max_len_factor", 3.0),
         )
 
     trainer = Trainer(

@@ -504,18 +504,32 @@ class Trainer:
         params = jax.tree.map(jnp.asarray, loaded["params"])
         opt_state = self.state.opt_state
         if loaded.get("opt_state") is not None:
-            if isinstance(loaded["opt_state"], list):
-                # data-only format: flat leaves, rebuilt against the LIVE
-                # optimizer's structure (stable across optax versions)
-                opt_state = jax.tree_util.tree_unflatten(
-                    jax.tree_util.tree_structure(self.state.opt_state),
-                    [jnp.asarray(l) for l in loaded["opt_state"]],
+            try:
+                if isinstance(loaded["opt_state"], list):
+                    # data-only format: flat leaves, rebuilt against the LIVE
+                    # optimizer's structure (stable across optax versions)
+                    opt_state = jax.tree_util.tree_unflatten(
+                        jax.tree_util.tree_structure(self.state.opt_state),
+                        [jnp.asarray(l) for l in loaded["opt_state"]],
+                    )
+                else:  # legacy pickle payload carried the full pytree
+                    opt_state = jax.tree.map(
+                        lambda ref, new: jnp.asarray(new), self.state.opt_state,
+                        loaded["opt_state"],
+                    )
+            except ValueError:
+                # Cross-mode resume (pipeline run loading a single-device
+                # checkpoint or vice versa): the combined TrainState optax tree
+                # and the per-stage PipelineState dict have different leaf
+                # structures (e.g. one vs two Adam `count` leaves). Fall back
+                # to a params-only resume with fresh optimizer state rather
+                # than dying on an opaque tree-structure error.
+                self.logger.print(
+                    "WARNING: checkpoint optimizer state does not match the "
+                    "live optimizer structure (cross-mode resume?) — resuming "
+                    "params only with FRESH optimizer state."
                 )
-            else:  # legacy pickle payload carried the full pytree
-                opt_state = jax.tree.map(
-                    lambda ref, new: jnp.asarray(new), self.state.opt_state,
-                    loaded["opt_state"],
-                )
+                opt_state = self.state.opt_state
         if self.pipeline_cfg is not None:
             from attention_based_e2e_asr_dnn_tpu.parallel.pipeline import (
                 PipelineState,

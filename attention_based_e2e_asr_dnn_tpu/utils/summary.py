@@ -85,4 +85,13 @@ def shape_flop_summary(params: Any, las_cfg, batch: int, time_steps: int,
         f"({fwd/batch/1e9:.2f} GFLOPs/utt) | "
         f"train step (fwd+bwd~3x): {train_flops/1e9:.2f} GFLOPs",
     ]
+    from attention_based_e2e_asr_dnn_tpu.models.las import decode_route_report
+
+    routes = decode_route_report()
+    if routes:
+        route_str = ", ".join(f"{k}->{v}" for k, v in routes.items())
+        lines.append(f"decoder routes (traced so far): {route_str}")
+    elif getattr(las_cfg.speller, "decoder_impl", "scan") == "pallas":
+        lines.append("decoder routes: pallas requested (route decided per "
+                     "traced shape; fallbacks warn on stderr)")
     return "\n".join(lines)

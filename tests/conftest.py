@@ -20,3 +20,19 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Best-effort native-tier build so the stock suite runs with zero skips: the
+# 3 native tests guard on libasrtpu.so which takes ~2s to compile. Failures
+# (no g++, read-only tree) are swallowed — the pure-Python fallbacks keep the
+# suite green either way.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SO = os.path.join(_REPO, "attention_based_e2e_asr_dnn_tpu", "_native",
+                   "libasrtpu.so")
+if not os.path.exists(_SO):
+    import subprocess
+
+    try:
+        subprocess.run(["make", "-C", os.path.join(_REPO, "native")],
+                       timeout=120, capture_output=True, check=False)
+    except Exception:
+        pass

