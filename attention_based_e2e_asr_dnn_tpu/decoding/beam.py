@@ -286,6 +286,61 @@ def make_las_beam_step(las_cfg, beam_size: int, length_alpha: float = 0.0,
     return step
 
 
+def make_las_eval_beam_step(las_cfg, beam_size: int, length_alpha: float = 0.0,
+                            compute_dtype=jnp.float32, max_steps: int = 0,
+                            max_len_factor: float = 3.0):
+    """Single-encoder-pass dev eval for beam runs: ``step(params, x, lx, y,
+    ly, want_ids) -> (metrics, beam_ids | None)``.
+
+    The Listener runs ONCE per dev batch; its encodings feed both the
+    free-running loss decode and the beam search (previously each ran its own
+    listener pass — eval cost roughly doubled when ``eval_beam_size`` was
+    set). The loss free-run is additionally truncated to the label horizon:
+    greedy logits at step t depend only on the decoded prefix, so the first
+    ``y.shape[1]`` steps — the only ones the masked CE reads — are identical
+    to the full CHR_MAX_STEPS free-run's (reference loss semantics preserved,
+    src/train.py:199-258).
+    """
+    import dataclasses
+
+    from attention_based_e2e_asr_dnn_tpu.models.las import (
+        listener_apply,
+        speller_apply,
+    )
+    from attention_based_e2e_asr_dnn_tpu.training.loss import masked_ce_loss
+
+    steps = max_steps or las_cfg.speller.CHR_MAX_STEPS
+
+    @jax.jit
+    def encode(params, x, lx):
+        return listener_apply(params["listener"], las_cfg.listener, None,
+                              x.astype(compute_dtype), lx, train=False)
+
+    @functools.partial(jax.jit, static_argnames=("n_steps",))
+    def loss_decode(params, enc_h, enc_l, y, ly, n_steps):
+        sp_cfg = dataclasses.replace(las_cfg.speller, CHR_MAX_STEPS=n_steps)
+        out = speller_apply(params["speller"], sp_cfg, None, enc_h, enc_l,
+                            dec_y=None, tf_rate=0.0, train=False)
+        n = min(n_steps, y.shape[1])
+        loss, n_tokens = masked_ce_loss(
+            out.logits[:, :n, :], y[:, :n], jnp.minimum(ly, n))
+        return {"loss": loss, "ppl": jnp.exp(loss), "n_tokens": n_tokens}
+
+    def step(params, x, lx, y, ly, want_ids: bool = True):
+        enc_h, enc_l = encode(params, x, lx)
+        metrics = loss_decode(params, enc_h, enc_l, y, ly,
+                              min(steps, int(y.shape[1])))
+        ids = None
+        if want_ids:
+            ids = beam_search(params["speller"], las_cfg.speller, enc_h,
+                              enc_l, beam_size=beam_size, max_steps=steps,
+                              length_alpha=length_alpha,
+                              max_len_factor=max_len_factor)
+        return metrics, ids
+
+    return step
+
+
 def make_rewriter_beam_step(lm_cfg, beam_size: int, length_alpha: float = 0.0,
                             compute_dtype=jnp.float32, max_steps: int = 0,
                             max_len_factor: float = 3.0):

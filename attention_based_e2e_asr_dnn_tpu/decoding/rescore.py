@@ -1,0 +1,160 @@
+"""Forced-decode sequence scoring + confidence-gated correction.
+
+The Rewriter chain's missing piece at long-form scale (RESULTS.md round 2):
+the corrector regressed LD because it *always* replaced its input with a
+free-running rewrite. The gate here makes the chain a strictly-no-worse
+estimator **under the model's own likelihood**: a correction only replaces
+the input prediction when the model scores the correction at least
+``margin`` avg-log-prob-per-char higher than re-generating the input
+verbatim. (Capability target: the reference *claims* auto-correction,
+reference: README.md:51-53, src/lmtrain.py:98-253 — its lminfer never ran.)
+
+``speller_forced_logprob`` is a dedicated teacher-forced decode: the
+speller's training scan draws per-step coins and never forces when
+``rng=None`` (models/las.py:326-332), so scoring a *candidate* sequence
+requires this always-forced variant (no coins, no dropout, deterministic).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from attention_based_e2e_asr_dnn_tpu.ops.attention import (
+    cross_attention_precompute,
+    cross_attention_step,
+)
+from attention_based_e2e_asr_dnn_tpu.ops.lstm import lstm_cell_step
+from attention_based_e2e_asr_dnn_tpu.ops.precision import matmul_precision
+
+
+def speller_forced_logprob(params: dict, cfg, enc_h, enc_l, cand, lc):
+    """Avg log p(cand | enc) per char under an always-teacher-forced decode.
+
+    ``cand`` (B, L) int32 in the training label layout ([SOS, chars..., EOS,
+    pad...]); ``lc`` (B,) counts the real positions (incl. SOS and EOS).
+    Returns (B,) float32: mean over the first ``lc`` positions of the
+    log-prob the model assigns to each candidate token given the *candidate*
+    prefix (position 0 conditions on the SOS start token, like training).
+    """
+    batch, steps = cand.shape
+    dtype = enc_h.dtype
+    emb = params["char_emb"].astype(dtype)
+
+    cache = cross_attention_precompute(params["attention"], enc_h, enc_l,
+                                       cfg.att_heads)
+    # forced inputs: SOS at t=0, then cand[t-1] (training's gold_prev shift)
+    prev = jnp.concatenate(
+        [jnp.full((batch, 1), cfg.CHR_SOS_IDX, cand.dtype), cand[:, :-1]],
+        axis=1,
+    )
+
+    h1 = jnp.broadcast_to(params["init_h1"].astype(dtype),
+                          (batch, cfg.dec_lstm_hid_dim))
+    c1 = jnp.broadcast_to(params["init_c1"].astype(dtype),
+                          (batch, cfg.dec_lstm_hid_dim))
+    h2 = jnp.broadcast_to(params["init_h2"].astype(dtype),
+                          (batch, cfg.dec_lstm_out_dim))
+    c2 = jnp.broadcast_to(params["init_c2"].astype(dtype),
+                          (batch, cfg.dec_lstm_out_dim))
+    init_query = jnp.broadcast_to(params["init_query"].astype(dtype),
+                                  (batch, cfg.dec_lstm_out_dim))
+    context0, _, _ = cross_attention_step(
+        params["attention"], cache, init_query, cfg.att_heads,
+        cfg.legacy_scale,
+    )
+
+    def step(carry, prev_t):
+        h1, c1, h2, c2, context = carry
+        cell_in = jnp.concatenate([emb[prev_t], context], axis=-1)
+        h1, c1 = lstm_cell_step(params["cell1"], cell_in, h1, c1)
+        h2, c2 = lstm_cell_step(params["cell2"], h1, h2, c2)
+        context, _, q_proj = cross_attention_step(
+            params["attention"], cache, h2, cfg.att_heads, cfg.legacy_scale
+        )
+        dec_out = jnp.concatenate([q_proj, context], axis=-1)
+        logits = jnp.dot(
+            dec_out, emb.T, precision=matmul_precision(dtype),
+            preferred_element_type=dtype,
+        ) + params["cls_b"].astype(dtype)
+        return (h1, c1, h2, c2, context), logits
+
+    _, logits_t = jax.lax.scan(
+        step, (h1, c1, h2, c2, context0), jnp.swapaxes(prev, 0, 1)
+    )
+    logits = jnp.swapaxes(logits_t, 0, 1)                      # (B, L, V)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    tok_lp = jnp.take_along_axis(logp, cand[..., None], axis=-1)[..., 0]
+    mask = (jnp.arange(steps)[None, :] < lc[:, None]).astype(jnp.float32)
+    return (tok_lp * mask).sum(axis=1) / jnp.maximum(lc, 1).astype(jnp.float32)
+
+
+def make_rewriter_scorer(lm_cfg, compute_dtype=jnp.float32):
+    """Jitted ``(params, x, lx, cand, lc) -> (B,) avg log-prob/char``.
+
+    Encoder pass over the INPUT ids (shared with decoding), forced decode
+    over the CANDIDATE — so score(input-as-candidate) vs score(correction)
+    are directly comparable likelihoods of the two outputs given the same
+    input.
+    """
+    from attention_based_e2e_asr_dnn_tpu.ops.lstm import (
+        locked_lstm_stack_apply,
+    )
+
+    sp_cfg = lm_cfg.speller_config()
+
+    @jax.jit
+    def score(params, x, lx, cand, lc):
+        emb = params["decoder"]["char_emb"].astype(compute_dtype)
+        enc_h, enc_l = locked_lstm_stack_apply(
+            params["encoder"], None, emb[x], lx,
+            init_dropout=0.0, mid_dropout=0.0, bidirectional=True,
+            train=False, impl=lm_cfg.lstm_impl,
+        )
+        return speller_forced_logprob(params["decoder"], sp_cfg, enc_h,
+                                      enc_l, cand, lc)
+
+    return score
+
+
+def gate_corrections(scorer, params, x, lx, corrected_ids, eos_idx: int,
+                     sos_idx: int, margin: float = 0.0,
+                     pad_multiple: int = 32):
+    """Keep a correction only when the model scores it ``margin`` avg
+    log-prob/char above regenerating the input — never-worse under the
+    model's own likelihood.
+
+    ``x``/``lx``: the batched input prediction ids ([SOS..EOS] layout, padded
+    with EOS). ``corrected_ids`` (B, steps): raw decoder argmax/beam output
+    (chars then EOS, no leading SOS). Returns (use_correction (B,) bool,
+    score_corr, score_input).
+    """
+    import numpy as np
+
+    x = np.asarray(x)
+    lx = np.asarray(lx)
+    corrected = np.asarray(corrected_ids)
+    batch = x.shape[0]
+
+    # corrected candidate in the training label layout: SOS + trimmed + EOS
+    cand_rows, lc = [], np.zeros((batch,), np.int32)
+    for b in range(batch):
+        row = corrected[b]
+        stop = np.argmax(row == eos_idx) if (row == eos_idx).any() else len(row)
+        trimmed = [t for t in row[:stop].tolist() if t != sos_idx]
+        cand_rows.append([sos_idx] + trimmed + [eos_idx])
+        lc[b] = len(cand_rows[-1])
+    width = max(int(lc.max()), int(x.shape[1]))
+    width = -(-width // pad_multiple) * pad_multiple
+    cand = np.full((batch, width), eos_idx, np.int32)
+    for b, row in enumerate(cand_rows):
+        cand[b, : len(row)] = row
+    x_wide = np.full((batch, width), eos_idx, np.int32)
+    x_wide[:, : x.shape[1]] = x
+
+    score_corr = np.asarray(scorer(params, x, lx, cand, lc))
+    score_input = np.asarray(scorer(params, x, lx, x_wide, lx))
+    use = score_corr > score_input + margin
+    return use, score_corr, score_input

@@ -45,7 +45,20 @@ def infer_one_checkpoint(model_cfgs, tstcfgs, checkpoint_filepath, batcher,
         return rewriter_apply(p, lm_cfg, rng, x, lx, dec_y, tf_rate,
                               init_force, train)
 
-    if bool(getattr(tstcfgs, "early_stop", True)):
+    beam = int(getattr(tstcfgs, "beam_size", 0) or 0)
+    if beam > 1:
+        # real beam search over the corrector (decoding/beam.py) — greedy
+        # rewrites were the round-2 chain's documented weakness at length
+        from attention_based_e2e_asr_dnn_tpu.decoding.beam import (
+            make_rewriter_beam_step,
+        )
+
+        step = make_rewriter_beam_step(
+            lm_cfg, beam_size=beam,
+            length_alpha=float(getattr(tstcfgs, "length_alpha", 0.0) or 0.0),
+            max_len_factor=cfg_float(tstcfgs, "max_len_factor", 3.0),
+        )
+    elif bool(getattr(tstcfgs, "early_stop", True)):
         # all-finished early exit + length cap (vs the fixed CHR_MAX_STEPS
         # free-run) — identical strings, much shorter scans on short text
         from attention_based_e2e_asr_dnn_tpu.decoding.greedy import (
@@ -58,13 +71,48 @@ def infer_one_checkpoint(model_cfgs, tstcfgs, checkpoint_filepath, batcher,
         )
     else:
         step = make_infer_step(apply_fn)
+
+    # confidence gate (on by default): a rewrite only replaces its input when
+    # the model scores it >= margin avg-log-prob/char ABOVE regenerating the
+    # input — makes the chain never-worse under the model's own likelihood
+    gate = bool(getattr(tstcfgs, "gate_correction", True))
+    margin = cfg_float(tstcfgs, "confidence_margin", 0.0)
+    scorer = None
+    if gate:
+        from attention_based_e2e_asr_dnn_tpu.decoding.rescore import (
+            gate_corrections,
+            make_rewriter_scorer,
+        )
+
+        scorer = make_rewriter_scorer(lm_cfg)
+
     preds = [None] * n_examples
+    n_kept = n_total = 0
     for bt in batcher.epoch(0):
-        ids = np.asarray(step(params, bt.x, bt.lx.astype(np.int32)))
+        lx = bt.lx.astype(np.int32)
+        ids = np.asarray(step(params, bt.x, lx))
+        if scorer is not None:
+            use, _, _ = gate_corrections(
+                scorer, params, bt.x, lx, ids, constants.EOS_IDX,
+                constants.SOS_IDX, margin=margin)
+        else:
+            use = np.ones((ids.shape[0],), bool)
         for row, orig in enumerate(bt.indices):
             if orig >= 0:
-                preds[orig] = ids_to_str(ids[row], constants.VOCAB,
-                                         constants.SOS_IDX, constants.EOS_IDX)
+                n_total += 1
+                if use[row]:
+                    n_kept += 1
+                    preds[orig] = ids_to_str(ids[row], constants.VOCAB,
+                                             constants.SOS_IDX,
+                                             constants.EOS_IDX)
+                else:
+                    preds[orig] = ids_to_str(np.asarray(bt.x)[row][:lx[row]],
+                                             constants.VOCAB,
+                                             constants.SOS_IDX,
+                                             constants.EOS_IDX)
+    if scorer is not None:
+        print(f"confidence gate kept {n_kept}/{n_total} corrections "
+              f"(margin {margin})")
 
     out_filepath = checkpoint_filepath.replace(".ckpt", "-pred.csv")
     try:

@@ -399,8 +399,16 @@ def las_apply(
     init_force: bool = False,
     train: bool = False,
     unroll: int = 8,
+    enc_hook=None,
 ) -> SpellerOutput:
-    """listen -> spell (reference: src/models.py:518-527)."""
+    """listen -> spell (reference: src/models.py:518-527).
+
+    ``enc_hook``: optional fn applied to the encoder output before the
+    speller — the sequence-parallel wiring installs a
+    ``lax.with_sharding_constraint`` here so GSPMD shards the attention
+    K/V time axis over the mesh's 'seq' axis (parallel/sequence.py has the
+    explicit-collectives shard_map twin of the partitioning XLA derives).
+    """
     if train:
         rng_listen, rng_spell = jax.random.split(rng)
     else:
@@ -408,6 +416,8 @@ def las_apply(
     enc_h, enc_l = listener_apply(
         params["listener"], cfg.listener, rng_listen, x, lx, train, unroll
     )
+    if enc_hook is not None:
+        enc_h = enc_hook(enc_h)
     return speller_apply(
         params["speller"], cfg.speller, rng_spell, enc_h, enc_l, dec_y,
         tf_rate, init_force, train,

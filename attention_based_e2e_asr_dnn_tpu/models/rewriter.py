@@ -54,6 +54,9 @@ class RewriterConfig:
     CHR_SOS_IDX: int = 0
     legacy_scale: bool = False
     decoder_impl: str = "scan"  # "pallas": fused decode kernel when blockable
+    lstm_impl: str = "scan"     # "pallas": encoder BiLSTM layers run the
+    # fused Pallas LSTM tier (ops/lstm_pallas.py), same kernels the LAS
+    # listener uses — previously the LM pipeline was scan-only
 
     @property
     def enc_out_dim(self) -> int:
@@ -112,9 +115,13 @@ def rewriter_apply(
     embedding lookup.
     """
     del init_force
-    if train:
+    if train and rng is not None:
         rng_enc, rng_dec = jax.random.split(rng)
     else:
+        # rng=None with train=True = deterministic forced decode (the
+        # confidence-gated corrector scores candidate sequences this way);
+        # dropout is disabled everywhere, matching the speller's rng=None
+        # convention (models/las.py)
         rng_enc = rng_dec = None
     emb = params["decoder"]["char_emb"]
     if compute_dtype is not None:
@@ -124,7 +131,8 @@ def rewriter_apply(
         params["encoder"], rng_enc, h, lx,
         init_dropout=float(cfg.enc_dropouts[0]),
         mid_dropout=float(cfg.enc_dropouts[-1]),
-        bidirectional=True, train=train, unroll=unroll,
+        bidirectional=True, train=train and rng is not None, unroll=unroll,
+        impl=cfg.lstm_impl,
     )
     return speller_apply(
         params["decoder"], cfg.speller_config(), rng_dec, enc_h, enc_l,

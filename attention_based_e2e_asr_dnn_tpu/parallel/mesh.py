@@ -67,22 +67,36 @@ def make_mesh_2d(
 
 
 def model_parallel_placement(mesh: Mesh, model_axis: str = "model"):
-    """Returns place(path, leaf) assigning LSTM gate matrices (w_ih / w_hh)
-    column-parallel on ``model_axis`` (output dim = 4*hid split across the
-    axis; XLA inserts the collectives implied by the annotations) and
-    replicating everything else. Works on params AND optimizer-state pytrees
-    (adam moments mirror the param tree's key names)."""
+    """Returns place(path, leaf) for tensor parallelism over ``model_axis``:
+
+      * LSTM gate matrices (w_ih / w_hh) column-parallel (output dim = 4*hid
+        split across the axis);
+      * attention projections (key_map / value_map / query_map weights)
+        column-parallel on the projection dim;
+      * the 3-way-shared character embedding column-parallel on the
+        embedding dim (it is also the tied classifier weight, so the cls
+        matmul contracts over the sharded dim — XLA inserts the psum);
+
+    everything else (biases, learned initial states) replicated. XLA derives
+    every collective from these annotations inside the jitted step. Works on
+    params AND optimizer-state pytrees (adam moments mirror the param tree's
+    key names)."""
     model_par = mesh.shape[model_axis]
     replicated = NamedSharding(mesh, P())
     col_sharded = NamedSharding(mesh, P(None, model_axis))
+    _ATT_MAPS = ("'key_map'", "'value_map'", "'query_map'")
 
     def place(path, leaf):
         if not hasattr(leaf, "shape"):
             return leaf
         keys = jax.tree_util.keystr(path)
-        if ("'w_ih'" in keys or "'w_hh'" in keys) and leaf.ndim == 2 \
-                and leaf.shape[1] % model_par == 0:
-            return jax.device_put(leaf, col_sharded)
+        if leaf.ndim == 2 and leaf.shape[1] % model_par == 0:
+            if "'w_ih'" in keys or "'w_hh'" in keys:
+                return jax.device_put(leaf, col_sharded)
+            if any(m in keys for m in _ATT_MAPS) and "'w'" in keys:
+                return jax.device_put(leaf, col_sharded)
+            if "'char_emb'" in keys:
+                return jax.device_put(leaf, col_sharded)
         return jax.device_put(leaf, replicated)
 
     return place

@@ -40,13 +40,21 @@ from attention_based_e2e_asr_dnn_tpu.training.loss import masked_ce_loss
 
 
 class PipelineState(NamedTuple):
-    """Per-stage params + optimizer state, pinned to their stage's device."""
+    """Per-stage params + optimizer state, pinned to their stage's device.
+
+    ``acc_listener``/``acc_speller`` hold the cross-batch gradient
+    accumulators when ``accu_grad > 1`` (None between windows / when
+    accumulation is off). They are NOT checkpointed: resuming mid-window
+    restarts the accumulation window (the single-device optax.MultiSteps
+    counterpart checkpoints its window, a documented deviation)."""
 
     params_listener: dict
     params_speller: dict
     opt_listener: tuple
     opt_speller: tuple
     rng: jax.Array
+    acc_listener: Optional[dict] = None
+    acc_speller: Optional[dict] = None
 
     # Trainer-protocol views (checkpoint payloads, eval, summaries)
     @property
@@ -68,6 +76,10 @@ def place_pipeline_state(state: PipelineState, devices: Sequence) -> PipelineSta
         opt_listener=jax.device_put(state.opt_listener, d0),
         opt_speller=jax.device_put(state.opt_speller, d1),
         rng=jax.device_put(state.rng, d0),
+        acc_listener=(jax.device_put(state.acc_listener, d0)
+                      if state.acc_listener is not None else None),
+        acc_speller=(jax.device_put(state.acc_speller, d1)
+                     if state.acc_speller is not None else None),
     )
 
 
@@ -104,6 +116,13 @@ def make_pipeline_train_step(
     own clipping (``build_optimizer(..., grad_norm=inf)``), otherwise the
     stages would clip by their per-stage norms, which is a different
     optimizer than the reference's (src/train.py:167).
+
+    ``accum_steps > 1`` accumulates the per-batch (token-mean) gradients
+    across calls and updates every ``accum_steps``-th call on their mean —
+    the cross-stage norm, clip, and non-finite guard all apply to the
+    ACCUMULATED gradient at the window boundary, exactly matching the
+    single-device ``optax.MultiSteps`` semantics (clip-after-accumulate).
+    Build ``tx`` WITHOUT MultiSteps — accumulation lives here.
     """
     if devices is None:
         devices = jax.devices()[:2]
@@ -154,7 +173,9 @@ def make_pipeline_train_step(
         from attention_based_e2e_asr_dnn_tpu.training.steps import _set_lr
         import optax
 
-        opt_state = _set_lr(opt_state, lr, accum_steps)
+        # stage tx is never MultiSteps-wrapped (accumulation is handled in
+        # the step loop below), so the LR leaf sits at the top level
+        opt_state = _set_lr(opt_state, lr, 1)
         grads = jax.tree.map(lambda g: jnp.where(ok, g, jnp.zeros_like(g)),
                              grads)
         updates, new_opt_state = tx.update(grads, opt_state, p)
@@ -167,6 +188,7 @@ def make_pipeline_train_step(
         )
         return optax.apply_updates(p, updates), opt_state
 
+    call_count = [0]  # host-side window position for accum_steps > 1
     tree_add = jax.jit(lambda a, b: jax.tree.map(jnp.add, a, b))
     tree_scale = jax.jit(lambda a, s: jax.tree.map(lambda x: x * s, a))
     sq_norm = jax.jit(lambda a: sum(
@@ -225,6 +247,28 @@ def make_pipeline_train_step(
         g_sp_acc = tree_scale(g_sp_acc, jax.device_put(inv, d1))
         g_ls_acc = tree_scale(g_ls_acc, jax.device_put(inv, d0))
         loss = loss_sum * inv
+
+        if accum_steps > 1:
+            # mean over the window of per-batch token-mean grads — the same
+            # quantity optax.MultiSteps hands its inner chain at the boundary
+            g_ls_s = tree_scale(g_ls_acc, 1.0 / accum_steps)
+            g_sp_s = tree_scale(g_sp_acc, 1.0 / accum_steps)
+            acc_ls = (g_ls_s if state.acc_listener is None
+                      else tree_add(state.acc_listener, g_ls_s))
+            acc_sp = (g_sp_s if state.acc_speller is None
+                      else tree_add(state.acc_speller, g_sp_s))
+            call_count[0] += 1
+            if call_count[0] % accum_steps != 0:
+                # mid-window: stash the accumulators, no update this call
+                new_state = PipelineState(
+                    state.params_listener, state.params_speller,
+                    state.opt_listener, state.opt_speller, rng,
+                    acc_ls, acc_sp)
+                return new_state, {
+                    "loss": loss, "ppl": jnp.exp(loss), "n_tokens": tok_sum,
+                    "grad_norm": jnp.zeros(()), "finite": jnp.asarray(True)}
+            # boundary: clip/guard/update on the ACCUMULATED gradient
+            g_ls_acc, g_sp_acc = acc_ls, acc_sp
 
         # cross-stage GLOBAL norm: only two scalars cross the wire. Feeds
         # both the clip and the non-finite no-op guard (steps.py parity).

@@ -23,7 +23,13 @@ import jax
 import jax.numpy as jnp
 
 from attention_based_e2e_asr_dnn_tpu import constants
-from attention_based_e2e_asr_dnn_tpu.config import Config, inject_vocab, load_yaml, snapshot_config
+from attention_based_e2e_asr_dnn_tpu.config import (
+    Config,
+    cfg_float,
+    inject_vocab,
+    load_yaml,
+    snapshot_config,
+)
 from attention_based_e2e_asr_dnn_tpu.data.batching import BucketBatcher
 from attention_based_e2e_asr_dnn_tpu.data.datasets import AsrTrainDevDataset, ToyTrainDevDataset
 from attention_based_e2e_asr_dnn_tpu.models.las import (
@@ -68,14 +74,15 @@ def scale_las_dropouts(cfg: LASConfig, scale: float) -> LASConfig:
     return LASConfig(listener=lis, speller=spe)
 
 
-def make_las_apply_factory(base_cfg: LASConfig, unroll: int = 8):
+def make_las_apply_factory(base_cfg: LASConfig, unroll: int = 8,
+                           enc_hook=None):
     def make_apply(dropout_scale: float):
         cfg = scale_las_dropouts(base_cfg, dropout_scale)
 
         def apply_fn(params, rng, x, lx, dec_y=None, tf_rate=1.0,
                      init_force=False, train=False):
             return las_apply(params, cfg, rng, x, lx, dec_y, tf_rate,
-                             init_force, train, unroll)
+                             init_force, train, unroll, enc_hook=enc_hook)
 
         return apply_fn
 
@@ -179,7 +186,40 @@ def main(args):
     if par is not None and par.use:
         model_par = int(getattr(par, "model", 1) or 1)
         pipeline_mb = int(getattr(par, "pipeline", 0) or 0)
-        if pipeline_mb > 0:
+        seq_par = int(getattr(par, "sequence", 0) or 0)
+        if seq_par > 1:
+            # sequence parallelism: the attention K/V time axis shards over
+            # the mesh's 'seq' axis. A sharding constraint on the encoder
+            # output is the whole integration — GSPMD partitions the
+            # attention einsums + softmax (psum/pmax collectives) from the
+            # annotation (parallel/sequence.py holds the explicit shard_map
+            # twin, equivalence-tested). Composes with DP on 'data'.
+            if pipeline_mb > 0 or model_par > 1:
+                raise ValueError(
+                    "parallel: sequence composes with data only in this "
+                    "release (not with model/pipeline)")
+            if getattr(las_cfg.speller, "decoder_impl", "scan") == "pallas":
+                raise ValueError(
+                    "parallel: sequence requires decoder_impl: scan (the "
+                    "fused Pallas decoder owns its K/V layout and cannot be "
+                    "time-sharded)")
+            from jax.sharding import NamedSharding, PartitionSpec as SP_P
+
+            seq_mesh = make_mesh_2d(getattr(par, "data", None), seq_par,
+                                    axis_names=("data", "seq"))
+            enc_sharding = NamedSharding(seq_mesh, SP_P("data", "seq", None))
+
+            def seq_hook(enc_h):
+                return jax.lax.with_sharding_constraint(enc_h, enc_sharding)
+
+            make_apply = make_las_apply_factory(
+                las_cfg, unroll=int(getattr(trncfgs, "scan_unroll", 8)),
+                enc_hook=seq_hook)
+            shard_batch = shard_batch_fn(seq_mesh)
+            print(f"[parallel] 2-D mesh: data={seq_mesh.shape['data']} x "
+                  f"seq={seq_mesh.shape['seq']} (sequence-parallel "
+                  "attention)")
+        elif pipeline_mb > 0:
             # 2-stage listener|speller pipeline, `pipeline` microbatches
             # (parallel/pipeline.py); mutually exclusive with mesh sharding
             if model_par > 1:
@@ -203,12 +243,14 @@ def main(args):
 
     # optional beam-search dev LD (eval_beam_size > 1; the reference's beam
     # branch was an empty stub, src/models.py:486-490)
-    beam_decode = None
+    eval_beam_step = None
     eval_beam = int(getattr(trncfgs, "eval_beam_size", 0) or 0)
     if eval_beam > 1:
-        from attention_based_e2e_asr_dnn_tpu.decoding.beam import make_las_beam_step
+        from attention_based_e2e_asr_dnn_tpu.decoding.beam import (
+            make_las_eval_beam_step,
+        )
 
-        beam_decode = make_las_beam_step(
+        eval_beam_step = make_las_eval_beam_step(
             las_cfg, beam_size=eval_beam, compute_dtype=compute_dtype,
             length_alpha=float(getattr(trncfgs, "length_alpha", 0.0) or 0.0),
             max_len_factor=cfg_float(trncfgs, "max_len_factor", 3.0),
@@ -228,7 +270,7 @@ def main(args):
         logger=logger,
         shard_batch=shard_batch,
         shard_state=shard_state,
-        beam_decode=beam_decode,
+        eval_beam_step=eval_beam_step,
         pipeline=pipeline,
     )
     from attention_based_e2e_asr_dnn_tpu.utils.summary import (

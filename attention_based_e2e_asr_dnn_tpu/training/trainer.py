@@ -65,7 +65,7 @@ class Trainer:
         logger: Optional[MetricLogger] = None,
         shard_batch: Optional[Callable] = None,
         shard_state: Optional[Callable] = None,
-        beam_decode: Optional[Callable] = None,
+        eval_beam_step: Optional[Callable] = None,
         pipeline: Optional[dict] = None,
     ):
         """``pipeline``: optional 2-stage pipeline parallelism
@@ -88,10 +88,12 @@ class Trainer:
         # matrices column-parallel on 'model', rest replicated) — XLA derives
         # the collectives from these annotations inside the same jitted step
         self.shard_state = shard_state or (lambda s: s)
-        # optional beam decoder (params, x, lx) -> ids for dev LD (the
-        # reference only ever evaluated greedily; eval_beam_size wires the
-        # real beam search into the epoch loop)
-        self.beam_decode = beam_decode
+        # optional combined loss+beam dev step (params, x, lx, y, ly,
+        # want_ids) -> (metrics, ids|None): the listener runs ONCE per dev
+        # batch for both metrics (the reference only ever evaluated greedily;
+        # eval_beam_size wires the real beam search into the epoch loop —
+        # decoding/beam.py::make_las_eval_beam_step)
+        self.eval_beam_step = eval_beam_step
 
         self.accu_grad = int(getattr(trncfgs, "accu_grad", 1))
         self.grad_norm = float(getattr(trncfgs, "grad_norm", 5.0))
@@ -109,22 +111,16 @@ class Trainer:
                 raise ValueError(
                     "pipeline parallelism does not support the dropout "
                     "scheduler (stage programs use the static model config)")
-            if self.accu_grad > 1:
-                raise ValueError(
-                    "pipeline parallelism does not support accu_grad > 1 "
-                    "(the cross-stage clip would apply per batch, before "
-                    "accumulation — different optimizer semantics); use "
-                    "n_microbatches for the same memory relief")
-
         # optimizer (registry parity, src/train.py:71-77). Pipeline mode
-        # clips by the CROSS-STAGE global norm inside the pipeline step, so
-        # its optax chain must not clip per stage.
+        # clips by the CROSS-STAGE global norm AND accumulates gradients
+        # inside the pipeline step (clip-after-accumulate, MultiSteps
+        # semantics), so its optax chain must neither clip nor wrap.
         self.base_lr = float(trncfgs.optimizer.configs["lr"])
         self.current_lr = self.base_lr
         self.tx = build_optimizer(
             trncfgs.optimizer.name, trncfgs.optimizer.configs,
             grad_norm=1e30 if pipeline is not None else self.grad_norm,
-            accum_steps=self.accu_grad,
+            accum_steps=1 if pipeline is not None else self.accu_grad,
         )
 
         # schedulers (src/train.py:79-101, 448-474)
@@ -368,13 +364,16 @@ class Trainer:
         for batch, y, ly, indices in self._prepared_batches(
             self.dev_batcher.epoch(0)
         ):
-            metrics, pred_ids = self.eval_step(eval_params, *batch)
+            if self.eval_beam_step is not None:
+                # ONE listener pass serves loss AND beam LD (want_ids=False
+                # skips the beam scan entirely on non-LD epochs)
+                metrics, pred_ids = self.eval_beam_step(
+                    eval_params, *batch, want_ids=compute_ld)
+            else:
+                metrics, pred_ids = self.eval_step(eval_params, *batch)
             total_loss += float(metrics["loss"])
             total_ppl += float(metrics["ppl"])
             if compute_ld:
-                if self.beam_decode is not None:
-                    pred_ids = self.beam_decode(eval_params,
-                                                batch[0], batch[1])
                 real = indices >= 0
                 total_ld += batch_levenshtein(
                     np.asarray(pred_ids)[real], y[real], ly[real],

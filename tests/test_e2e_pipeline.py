@@ -352,3 +352,23 @@ def test_best_checkpoint_sorts_epochs_numerically(tmp_path):
                  "min-ld-epoch[2].ckpt"):
         open(os.path.join(d, name), "wb").close()
     assert _best_checkpoint(d).endswith("epoch[10].ckpt")
+
+
+def test_train_cli_with_beam_eval(pipeline_dirs, tmp_path):
+    """eval_beam_size>1 through the CLI: wires make_las_eval_beam_step (one
+    encoder pass for loss+LD) — guards the train.py import/wiring path."""
+    from attention_based_e2e_asr_dnn_tpu import train as train_mod
+
+    root, _ = pipeline_dirs
+    exp_dir = str(tmp_path / "experiments")
+    cfg = _train_config(root, exp_dir)
+    cfg["epochs"] = 1
+    cfg["eval_beam_size"] = 2
+    cfg_path = str(tmp_path / "cfg-beam.yml")
+    with open(cfg_path, "w") as fh:
+        yaml.safe_dump(cfg, fh)
+
+    trainer = train_mod.main(train_mod.build_argparser().parse_args(["-c", cfg_path]))
+    assert trainer.eval_beam_step is not None
+    assert len(trainer.dev_history["ld"]) == 1
+    assert np.isfinite(trainer.dev_history["ld"][0])
