@@ -132,7 +132,7 @@ def _scan_specs(grid: int, scan_desc: bool):
 
 
 def _forward_pallas(x_proj: jnp.ndarray, w_hh: jnp.ndarray, mask: jnp.ndarray,
-                    interpret: bool = False, k_block: int = 8,
+                    interpret: bool = False, k_block: int | None = None,
                     reverse: bool = False):
     """x_proj (T, B, 4H), w_hh (H, 4H), mask (T, B) float -> hs, cs (T, B, H).
 
@@ -150,6 +150,17 @@ def _forward_pallas(x_proj: jnp.ndarray, w_hh: jnp.ndarray, mask: jnp.ndarray,
     seq_len, batch, four_h = x_proj.shape
     hidden_dim = four_h // 4
     dtype = x_proj.dtype
+    if k_block is None:
+        # VMEM-fit the block like the training forward does — a fixed k=8 at
+        # (B=128, T=1536) flagship inference shapes overflowed the 16 MB
+        # scoped-VMEM stack by 164 KB (measured 2026-08-17); k_block drops
+        # until streams + fixed buffers fit
+        es = jnp.dtype(dtype).itemsize
+        k_block = _pick_k_block(
+            seq_len, four_h + 2 * hidden_dim + 1, batch, es,
+            fixed_bytes=hidden_dim * four_h * es + 2 * batch * hidden_dim * 4,
+            budget=11 * 1024 * 1024,
+        )
     if seq_len % k_block != 0:
         k_block = 1
     grid = seq_len // k_block
@@ -330,6 +341,166 @@ def _lstm_bwd_kernel(g_ref, cs_ref, cp_ref, dy_ref, mask_ref, wt_ref,
     dc_scratch[:] = dc
 
 
+def _lstm_bwd_dw_kernel(g_ref, cs_ref, cp_ref, dy_ref, hs_ref, mask_ref,
+                        wt_ref, dpre_ref, dw_ref, dh_scratch, dc_scratch,
+                        dw_scratch, pend_scratch, *, hidden_dim: int,
+                        k_block: int, grid: int, scan_desc: bool):
+    """Adjoint recurrence WITH in-kernel dW_hh accumulation.
+
+    dW = sum_t h_scanprev(t)^T dpre_t accumulates into a (H, 4H) fp32 VMEM
+    scratch — killing the outside einsum's re-read of dpre (T,B,4H) + hs
+    (T,B,H) from HBM. Measured +7.0% on the flagship adjoint (2026-08-17,
+    B=128 T=1536 H=512) with dpre bit-identical and dW within bf16-input
+    rounding of the outside einsum (same bf16-operand fp32-accum semantics).
+
+    The scan-previous h of the block-boundary step lives in the block the
+    grid processes NEXT, so its dpre parks in ``pend_scratch`` and is folded
+    at the next grid iteration; the globally-final deferred term pairs with
+    h == 0 and is correctly dropped. Per-gate-slab dots (a (B,4H) fp32
+    concat would blow the VMEM stack).
+    """
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        dh_scratch[:] = jnp.zeros_like(dh_scratch)
+        dc_scratch[:] = jnp.zeros_like(dc_scratch)
+        dw_scratch[:] = jnp.zeros_like(dw_scratch)
+        pend_scratch[:] = jnp.zeros_like(pend_scratch)
+
+    # fold the previous block's boundary term with this block's adjacent row
+    h_adj = hs_ref[k_block - 1] if scan_desc else hs_ref[0]
+    dw_scratch[:] += jax.lax.dot_general(
+        h_adj, pend_scratch[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    boundary_k = 0 if scan_desc else k_block - 1
+
+    def one_step(j, carry):
+        k = k_block - 1 - j if scan_desc else j
+        dh, dc = carry
+        i = g_ref[k, :, 0 * hidden_dim : 1 * hidden_dim].astype(jnp.float32)
+        f = g_ref[k, :, 1 * hidden_dim : 2 * hidden_dim].astype(jnp.float32)
+        g = g_ref[k, :, 2 * hidden_dim : 3 * hidden_dim].astype(jnp.float32)
+        o = g_ref[k, :, 3 * hidden_dim : 4 * hidden_dim].astype(jnp.float32)
+        c_t = cs_ref[k].astype(jnp.float32)
+        cp = cp_ref[k].astype(jnp.float32)
+        m = mask_ref[k].astype(jnp.float32)
+        tanh_ct = jnp.tanh(c_t)
+
+        dh_total = dy_ref[k].astype(jnp.float32) * m + dh
+        dc_total = dc + dh_total * o * (1.0 - tanh_ct * tanh_ct)
+        dpre_i = dc_total * g * i * (1.0 - i) * m
+        dpre_f = dc_total * cp * f * (1.0 - f) * m
+        dpre_g = dc_total * i * (1.0 - g * g) * m
+        dpre_o = dh_total * tanh_ct * o * (1.0 - o) * m
+        gd = dpre_ref.dtype
+        dpre_ref[k, :, 0 * hidden_dim : 1 * hidden_dim] = dpre_i.astype(gd)
+        dpre_ref[k, :, 1 * hidden_dim : 2 * hidden_dim] = dpre_f.astype(gd)
+        dpre_ref[k, :, 2 * hidden_dim : 3 * hidden_dim] = dpre_g.astype(gd)
+        dpre_ref[k, :, 3 * hidden_dim : 4 * hidden_dim] = dpre_o.astype(gd)
+
+        # k is a python int under full unroll, so this is trace-time routing
+        if k != boundary_k:
+            hp = hs_ref[k - 1] if scan_desc else hs_ref[k + 1]
+            for s_i, dp in enumerate((dpre_i, dpre_f, dpre_g, dpre_o)):
+                dw_scratch[:, s_i * hidden_dim : (s_i + 1) * hidden_dim] += (
+                    jax.lax.dot_general(hp, dp.astype(hp.dtype),
+                                        (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32))
+        else:
+            for s_i, dp in enumerate((dpre_i, dpre_f, dpre_g, dpre_o)):
+                pend_scratch[:, s_i * hidden_dim : (s_i + 1) * hidden_dim] = (
+                    dp.astype(pend_scratch.dtype))
+
+        wt = wt_ref[:]
+        dh_prev_valid = (
+            jnp.dot(dpre_i.astype(wt.dtype), wt[0 * hidden_dim : 1 * hidden_dim],
+                    preferred_element_type=jnp.float32)
+            + jnp.dot(dpre_f.astype(wt.dtype), wt[1 * hidden_dim : 2 * hidden_dim],
+                      preferred_element_type=jnp.float32)
+            + jnp.dot(dpre_g.astype(wt.dtype), wt[2 * hidden_dim : 3 * hidden_dim],
+                      preferred_element_type=jnp.float32)
+            + jnp.dot(dpre_o.astype(wt.dtype), wt[3 * hidden_dim : 4 * hidden_dim],
+                      preferred_element_type=jnp.float32)
+        )
+        dc_prev_valid = dc_total * f
+        dh = m * dh_prev_valid + (1.0 - m) * dh_total
+        dc = m * dc_prev_valid + (1.0 - m) * dc
+        return dh, dc
+
+    dh, dc = dh_scratch[:], dc_scratch[:]
+    # python loop = full unroll with CONCRETE j (the boundary-k routing is
+    # trace-time; fori_loop keeps j traced even at unroll == trip count)
+    for j in range(k_block):
+        dh, dc = one_step(j, (dh, dc))
+    dh_scratch[:] = dh
+    dc_scratch[:] = dc
+
+    @pl.when(t == grid - 1)
+    def _flush():
+        dw_ref[:, :] = dw_scratch[:]
+
+
+def _backward_pallas_dw(w_hh, mask, gates, cs, c_prev, hs, d_hs,
+                        interpret: bool = False, reverse: bool = False):
+    """Adjoint + in-kernel dW_hh. Returns (dpre (T,B,4H), d_whh (H,4H) fp32).
+
+    ``reverse`` is the FORWARD scan's direction; the adjoint walks the
+    opposite way. Replaces _backward_pallas + the outside hs/dpre einsum.
+    """
+    seq_len, batch, four_h = gates.shape
+    hidden_dim = four_h // 4
+    dtype = gates.dtype
+    es = jnp.dtype(dtype).itemsize
+    # streams: gates 4H + cs/cp/dy/hs H each + mask 1 in, dpre 4H out;
+    # fixed: wt + dh/dc scratch + fp32 dW accumulator + bf16 pending dpre.
+    # Budget dropped to 9 MB: the dW dots' fp32 stack temporaries at bigger
+    # K overflowed the 16 MB scoped-VMEM stack (measured).
+    fixed = (four_h * hidden_dim * es
+             + 2 * batch * hidden_dim * 4
+             + hidden_dim * four_h * 4
+             + batch * four_h * es)
+    k_block = _pick_k_block(seq_len, 2 * four_h + 4 * hidden_dim + 1, batch,
+                            es, fixed_bytes=fixed, budget=9 * 1024 * 1024)
+    grid = seq_len // k_block
+    scan_desc = not reverse
+    kernel = functools.partial(_lstm_bwd_dw_kernel, hidden_dim=hidden_dim,
+                               k_block=k_block, grid=grid,
+                               scan_desc=scan_desc)
+    idx = _scan_specs(grid, scan_desc)
+    dpre, d_whh = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((k_block, batch, four_h), idx),
+            pl.BlockSpec((k_block, batch, hidden_dim), idx),
+            pl.BlockSpec((k_block, batch, hidden_dim), idx),
+            pl.BlockSpec((k_block, batch, hidden_dim), idx),
+            pl.BlockSpec((k_block, batch, hidden_dim), idx),
+            pl.BlockSpec((k_block, batch, 1), idx),
+            pl.BlockSpec((four_h, hidden_dim), lambda t: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((k_block, batch, four_h), idx),
+            pl.BlockSpec((hidden_dim, four_h), lambda t: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((seq_len, batch, four_h), dtype),
+            jax.ShapeDtypeStruct((hidden_dim, four_h), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((batch, hidden_dim), jnp.float32),
+            pltpu.VMEM((batch, hidden_dim), jnp.float32),
+            pltpu.VMEM((hidden_dim, four_h), jnp.float32),
+            pltpu.VMEM((batch, four_h), dtype),
+        ] if pltpu is not None else None,
+        interpret=interpret,
+    )(gates, cs, c_prev, d_hs, hs, mask.astype(dtype)[:, :, None],
+      jnp.swapaxes(w_hh, 0, 1).astype(dtype))
+    return dpre, d_whh
+
+
 def _backward_pallas(w_hh, mask, gates, cs, c_prev, d_hs,
                      interpret: bool = False, reverse: bool = False):
     """Run the adjoint kernel; returns dpre (T, B, 4H). ``reverse`` is the
@@ -405,12 +576,11 @@ def _fwd(x_proj, w_hh, mask, interpret, reverse):
 
 
 def _bwd(interpret, reverse, res, d_hs):
-    """Pallas adjoint kernel + outside weight-gradient matmul."""
+    """Pallas adjoint kernel with in-kernel dW_hh accumulation."""
     w_hh, mask, hs, cs, gates = res
     seq_len, batch, four_h = gates.shape
     hidden_dim = four_h // 4
     dtype = gates.dtype
-    prec = matmul_precision(dtype)
 
     zero_row = jnp.zeros((1, batch, hidden_dim), dtype)
     if reverse:  # scan-previous of step t is t+1 in a descending-time scan
@@ -418,16 +588,9 @@ def _bwd(interpret, reverse, res, d_hs):
     else:
         c_prev = jnp.concatenate([zero_row, cs[:-1]], axis=0)
 
-    dpre = _backward_pallas(w_hh, mask, gates, cs, c_prev,
-                            d_hs.astype(dtype), interpret, reverse=reverse)
-    # weight gradient as ONE MXU matmul over all (T*B) rows — sliced form
-    # (h_{-1} = 0 contributes nothing), skipping the h_prev concat copy
-    if reverse:
-        d_whh = jnp.einsum("tbh,tbk->hk", hs[1:], dpre[:-1], precision=prec,
-                           preferred_element_type=jnp.float32)
-    else:
-        d_whh = jnp.einsum("tbh,tbk->hk", hs[:-1], dpre[1:], precision=prec,
-                           preferred_element_type=jnp.float32)
+    dpre, d_whh = _backward_pallas_dw(w_hh, mask, gates, cs, c_prev, hs,
+                                      d_hs.astype(dtype), interpret,
+                                      reverse=reverse)
     return dpre, d_whh.astype(w_hh.dtype), None
 
 
@@ -578,14 +741,9 @@ def _fusedin_bwd(interpret, reverse, res, d_hs):
     else:
         c_prev = jnp.concatenate([zero_row, cs[:-1]], axis=0)
 
-    dpre = _backward_pallas(w_hh, mask, gates, cs, c_prev,
-                            d_hs.astype(dtype), interpret, reverse=reverse)
-    if reverse:
-        d_whh = jnp.einsum("tbh,tbk->hk", hs[1:], dpre[:-1], precision=prec,
-                           preferred_element_type=jnp.float32)
-    else:
-        d_whh = jnp.einsum("tbh,tbk->hk", hs[:-1], dpre[1:], precision=prec,
-                           preferred_element_type=jnp.float32)
+    dpre, d_whh = _backward_pallas_dw(w_hh, mask, gates, cs, c_prev, hs,
+                                      d_hs.astype(dtype), interpret,
+                                      reverse=reverse)
     d_wih = jnp.einsum("tbi,tbk->ik", x, dpre, precision=prec,
                        preferred_element_type=jnp.float32)
     d_b = jnp.sum(dpre, axis=(0, 1), dtype=jnp.float32)

@@ -82,6 +82,7 @@ class Transcriber:
         max_len_factor: float = 3.0,
         batch_size: int = 32,
         pad_time_multiple: int = 128,
+        auto_warmup: Optional[Sequence[int]] = None,
     ):
         from attention_based_e2e_asr_dnn_tpu.utils.compile_cache import (
             enable_compilation_cache,
@@ -133,20 +134,67 @@ class Transcriber:
                 max_len_factor=max_len_factor,
             )
 
+        # warm-bucket registry: buckets whose decode program is compiled.
+        # A cold mixed-length stream used to stall on EVERY new (B, T_pad)
+        # shape; with route-up, requests run on the smallest ALREADY-WARM
+        # bucket instead (pad waste but no compile stall) while the
+        # background warmup thread fills the configured ladder in.
+        import threading
+
+        self._warm: set = set()
+        self._warm_lock = threading.Lock()
+        self._warmup_thread: Optional[threading.Thread] = None
+        if auto_warmup:
+            self._warmup_thread = threading.Thread(
+                target=self.warmup,
+                kwargs={"time_buckets": tuple(auto_warmup),
+                        "largest_first": True},
+                daemon=True,
+            )
+            self._warmup_thread.start()
+
     # ------------------------------------------------------------------
-    def warmup(self, time_buckets: Sequence[int] = (512,)) -> None:
-        """Precompile the decode program for the given time buckets."""
-        for t in time_buckets:
-            t_pad = pad_to_multiple(t, self.pad_time_multiple)
+    def warmup(self, time_buckets: Sequence[int] = (512,),
+               largest_first: bool = False) -> None:
+        """Precompile the decode program for the given time buckets.
+
+        ``largest_first`` compiles the LARGEST bucket first: once it is
+        warm, every request can route up to it, so a cold stream stalls on
+        at most one compile; tighter buckets then trim pad waste as they
+        come warm.
+        """
+        buckets = sorted({pad_to_multiple(t, self.pad_time_multiple)
+                          for t in time_buckets}, reverse=largest_first)
+        for t_pad in buckets:
             x = np.zeros((self.batch_size, t_pad, self.n_feats), np.float32)
             lx = np.full((self.batch_size,), t_pad, np.int32)
             np.asarray(self._step(self.params, jnp.asarray(x), jnp.asarray(lx)))
+            with self._warm_lock:
+                self._warm.add(t_pad)
+
+    def wait_warm(self, timeout: Optional[float] = None) -> None:
+        """Block until the background auto-warmup ladder finishes."""
+        if self._warmup_thread is not None:
+            self._warmup_thread.join(timeout)
+
+    def _route_bucket(self, t_need: int) -> int:
+        """Pick the execution bucket for a batch needing ``t_need`` frames:
+        the tight bucket if warm (or nothing warm yet — first-compile),
+        else the smallest warm bucket that fits (no compile stall)."""
+        t_tight = pad_to_multiple(t_need, self.pad_time_multiple)
+        with self._warm_lock:
+            if t_tight in self._warm or not self._warm:
+                return t_tight
+            bigger = [t for t in self._warm if t >= t_tight]
+            return min(bigger) if bigger else t_tight
 
     def transcribe(self, features: Sequence[np.ndarray]) -> List[str]:
         """Transcribe variable-length (T_i, n_feats) float feature arrays.
 
         Inputs are length-sorted into static-shape padded batches (tight
         buckets, original order restored) — the same policy as training.
+        Batches route to already-warm buckets when the tight one would
+        trigger a compile (see ``_route_bucket``).
         """
         n = len(features)
         order = sorted(range(n), key=lambda i: len(features[i]), reverse=True)
@@ -156,9 +204,8 @@ class Transcriber:
             rows = list(chunk)
             while len(rows) < self.batch_size:  # repeat-pad the last batch
                 rows.append(rows[-1])
-            t_pad = pad_to_multiple(
-                max(len(features[i]) for i in chunk), self.pad_time_multiple
-            )
+            t_pad = self._route_bucket(
+                max(len(features[i]) for i in chunk))
             x = np.zeros((self.batch_size, t_pad, self.n_feats), np.float32)
             lx = np.zeros((self.batch_size,), np.int32)
             for r, i in enumerate(rows):
@@ -167,8 +214,75 @@ class Transcriber:
                 lx[r] = len(f)
             ids = np.asarray(self._step(self.params, jnp.asarray(x),
                                         jnp.asarray(lx)))
+            with self._warm_lock:
+                self._warm.add(t_pad)
             for r, i in enumerate(chunk):
                 out[i] = ids_to_str(ids[r], self.vocab, self.sos_idx,
                                     self.eos_idx)
         assert all(s is not None for s in out)
         return out  # type: ignore[return-value]
+
+
+class StreamingTranscriber:
+    """Request-queue front end over a Transcriber: callers ``submit()``
+    single utterances from any thread and get a Future; a dispatcher thread
+    groups pending requests into batches (up to ``batch_size``, waiting at
+    most ``max_wait_ms`` for stragglers) and runs them through the shared
+    Transcriber. This is the serving shape a production deployment needs —
+    the reference has no serving story at all.
+    """
+
+    def __init__(self, transcriber: Transcriber, max_wait_ms: float = 10.0):
+        import queue
+        import threading
+
+        self.t = transcriber
+        self.max_wait_ms = max_wait_ms
+        self._q: "queue.Queue" = queue.Queue()
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, features: np.ndarray):
+        """Enqueue one (T, n_feats) array; returns a concurrent Future."""
+        from concurrent.futures import Future
+
+        fut: Future = Future()
+        self._q.put((features, fut))
+        return fut
+
+    def close(self) -> None:
+        self._closed = True
+        self._q.put(None)
+        self._worker.join()
+
+    def _run(self) -> None:
+        import queue
+        import time as _time
+
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            batch = [item]
+            deadline = _time.monotonic() + self.max_wait_ms / 1e3
+            while len(batch) < self.t.batch_size:
+                remaining = deadline - _time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._q.put(None)  # re-signal close after this batch
+                    break
+                batch.append(nxt)
+            feats = [b[0] for b in batch]
+            try:
+                texts = self.t.transcribe(feats)
+                for (_, fut), text in zip(batch, texts):
+                    fut.set_result(text)
+            except Exception as exc:  # pragma: no cover - defensive
+                for _, fut in batch:
+                    fut.set_exception(exc)

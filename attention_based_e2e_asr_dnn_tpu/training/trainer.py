@@ -172,6 +172,9 @@ class Trainer:
         self.batch = 0
         self.train_history = {"loss": [], "ppl": []}
         self.dev_history = {"loss": [], "ppl": [], "ld": []}
+        # wall-clock per epoch (train + eval + checkpointing) — the honest
+        # end-to-end throughput record (first entry carries compile time)
+        self.epoch_seconds: list = []
 
         self.ckpt = CheckpointManager(
             os.path.join(saving_dir, "ckpts"), milestone_dir,
@@ -439,6 +442,7 @@ class Trainer:
             self.dev_history["ld"].append(dev_ld)
 
             dt = time.time() - t0
+            self.epoch_seconds.append(dt)
             self.logger.print(
                 f"[epoch {self.epoch}] trn loss {trn_loss:.4f} ppl {trn_ppl:.3f} | "
                 f"dev loss {dev_loss:.4f} ppl {dev_ppl:.3f} ld {dev_ld:.3f} | "

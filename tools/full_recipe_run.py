@@ -132,6 +132,8 @@ def rewriter_config(data_dir: str, exp_dir: str, trn_pred: str,
                 "att_heads": 1, "att_dropout": 0.2, "dec_lstm_layers": 2,
                 "dec_lstm_hid_dim": 256, "dec_lstm_out_dim": 128,
                 "dec_lstm_dropout": 0.2, "CHR_MAX_STEPS": 120,
+                # round 3: the LM trains on the Pallas tiers too
+                "lstm_impl": "pallas", "decoder_impl": "pallas",
             },
         },
         "optimizer": {"name": "adamw",
@@ -203,6 +205,10 @@ def main():
                         default="scan")
     parser.add_argument("--max-steps", type=int, default=120)
     parser.add_argument("--init-force", action="store_true")
+    parser.add_argument("--lm-beam", type=int, default=8,
+                        help="beam size for the corrector decode (round 3)")
+    parser.add_argument("--lm-margin", type=float, default=0.0,
+                        help="confidence-gate margin (avg logprob/char)")
     args = parser.parse_args()
 
     work = args.work_dir or tempfile.mkdtemp(prefix="recipe-")
@@ -272,6 +278,9 @@ def main():
         "TST_FOLDER": os.path.join(args.data_dir, "dev-clean"),
         "exp_folder": lm_run, "use_greedy": True, "batch_size": 64,
         "run_all": False, "epoch_num": None, "run_avg": True,
+        # round 3: beam rewrite + never-worse confidence gate
+        "beam_size": args.lm_beam, "gate_correction": True,
+        "confidence_margin": args.lm_margin,
     }
     li_path = os.path.join(work, "lminfer.yml")
     with open(li_path, "w") as fh:
@@ -280,7 +289,16 @@ def main():
     corrected = os.path.join(lm_run, "ckpts", "avg-all-pred.csv")
     ld_after = dev_ld_of_csv(corrected, dev_trans)
 
+    import numpy as _np
+
+    steady = trainer.epoch_seconds[1:] or trainer.epoch_seconds
+    n_train_utts = len(os.listdir(
+        os.path.join(args.data_dir, "train-clean-100", "mfcc")))
     result = {
+        # honest end-to-end epoch throughput: train + SpecAug + eval + ckpt
+        # (median of steady-state epochs; epoch 0 carries the compiles)
+        "epoch_seconds_median": float(_np.median(steady)),
+        "epoch_utt_s_end_to_end": float(n_train_utts / _np.median(steady)),
         "las_dev_ld_history": trainer.dev_history["ld"],
         "las_best_dev_ld": min(trainer.dev_history["ld"]),
         "final_tf_rate": trainer.tf_rate,

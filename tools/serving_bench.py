@@ -1,0 +1,92 @@
+"""Serving latency/throughput bench: cold mixed-length stream + P50/P99.
+
+Round-2 baseline: a COLD mixed-length stream ran 46.6 utt/s vs 484 warm —
+every unseen (batch, t_pad) bucket stalled the stream on a compile. The
+round-3 hardening (Transcriber auto-warmup ladder, largest-first + route-up
+to warm buckets; serving.py) is measured here:
+
+    python tools/serving_bench.py --exp <experiment-dir> [--n 256]
+
+Prints one JSON line:
+  cold_utt_s     — throughput of a fresh Transcriber on a mixed stream with
+                   auto-warmup + route-up engaged (the hardened path)
+  warm_utt_s     — same stream again, all buckets warm
+  p50_ms/p99_ms  — per-request latency through the StreamingTranscriber
+                   batching queue at a steady trickle
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def make_stream(n: int, n_feats: int, seed: int = 0):
+    """Mixed-length utterances spanning several time buckets."""
+    rng = np.random.default_rng(seed)
+    lengths = rng.integers(200, 1537, size=(n,))
+    return [rng.normal(size=(int(t), n_feats)).astype(np.float32) * 0.5
+            for t in lengths]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--exp", required=True)
+    ap.add_argument("--n", type=int, default=256)
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--pad-time-multiple", type=int, default=256)
+    args = ap.parse_args()
+
+    from attention_based_e2e_asr_dnn_tpu.serving import (
+        StreamingTranscriber,
+        Transcriber,
+    )
+
+    ladder = list(range(args.pad_time_multiple, 1537,
+                        args.pad_time_multiple))
+    t = Transcriber(args.exp, batch_size=args.batch_size,
+                    pad_time_multiple=args.pad_time_multiple,
+                    auto_warmup=ladder)
+
+    feats = make_stream(args.n, t.n_feats)
+
+    # cold stream: starts the moment the transcriber exists; route-up sends
+    # early batches to whatever the background warmup has already compiled
+    t0 = time.perf_counter()
+    cold_preds = t.transcribe(feats)
+    cold_s = args.n / (time.perf_counter() - t0)
+
+    t.wait_warm()
+    t0 = time.perf_counter()
+    warm_preds = t.transcribe(feats)
+    warm_s = args.n / (time.perf_counter() - t0)
+    same = sum(a == b for a, b in zip(cold_preds, warm_preds)) / args.n
+
+    # steady-trickle latency through the batching queue
+    st = StreamingTranscriber(t, max_wait_ms=15.0)
+    lat = []
+    for f in feats[:min(args.n, 128)]:
+        s = time.perf_counter()
+        st.submit(f).result(timeout=600)
+        lat.append((time.perf_counter() - s) * 1e3)
+    st.close()
+    lat = np.array(lat)
+
+    print(json.dumps({
+        "cold_utt_s": round(cold_s, 2),
+        "warm_utt_s": round(warm_s, 2),
+        "cold_warm_accuracy_match": round(same, 4),
+        "p50_ms": round(float(np.percentile(lat, 50)), 2),
+        "p99_ms": round(float(np.percentile(lat, 99)), 2),
+        "n": args.n,
+    }))
+
+
+if __name__ == "__main__":
+    main()
