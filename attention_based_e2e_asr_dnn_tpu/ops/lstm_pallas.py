@@ -67,9 +67,12 @@ def _masked_cell_update(pre, h, c, m, hidden_dim, h_out_ref, c_out_ref, k,
     c_next = m * c_new + (1.0 - m) * c
     # h outputs are ZEROED at padded positions in-kernel (m * h_next ==
     # m * h_new) — saves the caller's full-array mask multiply + its
-    # adjoint; cs keeps carry semantics (the adjoint reads true c_t)
+    # adjoint; cs keeps carry semantics (the adjoint reads true c_t).
+    # c_out_ref=None (inference) skips the cs HBM stream entirely — only
+    # the training adjoint ever reads it.
     h_out_ref[k] = (m * h_new).astype(h_out_ref.dtype)
-    c_out_ref[k] = c_next.astype(c_out_ref.dtype)
+    if c_out_ref is not None:
+        c_out_ref[k] = c_next.astype(c_out_ref.dtype)
     if g_out_ref is not None:
         gd = g_out_ref.dtype
         g_out_ref[k, :, 0 * hidden_dim : 1 * hidden_dim] = i.astype(gd)
@@ -77,6 +80,17 @@ def _masked_cell_update(pre, h, c, m, hidden_dim, h_out_ref, c_out_ref, k,
         g_out_ref[k, :, 2 * hidden_dim : 3 * hidden_dim] = g.astype(gd)
         g_out_ref[k, :, 3 * hidden_dim : 4 * hidden_dim] = o.astype(gd)
     return h_next, c_next
+
+
+def _lstm_scan_nocs_kernel(xp_ref, mask_ref, w_ref, h_out_ref,
+                           h_scratch, c_scratch, *, hidden_dim: int,
+                           k_block: int, scan_desc: bool = False):
+    """Inference-only twin of _lstm_scan_kernel: the cell state lives purely
+    in VMEM scratch — no (T, B, H) cs stream to HBM (only the training
+    adjoint reads cs)."""
+    _lstm_scan_kernel(xp_ref, mask_ref, w_ref, h_out_ref, None,
+                      h_scratch, c_scratch, hidden_dim=hidden_dim,
+                      k_block=k_block, scan_desc=scan_desc)
 
 
 def _lstm_scan_kernel(xp_ref, mask_ref, w_ref, h_out_ref, c_out_ref,
@@ -133,8 +147,12 @@ def _scan_specs(grid: int, scan_desc: bool):
 
 def _forward_pallas(x_proj: jnp.ndarray, w_hh: jnp.ndarray, mask: jnp.ndarray,
                     interpret: bool = False, k_block: int | None = None,
-                    reverse: bool = False):
+                    reverse: bool = False, with_cs: bool = True):
     """x_proj (T, B, 4H), w_hh (H, 4H), mask (T, B) float -> hs, cs (T, B, H).
+
+    ``with_cs=False`` (inference) keeps the cell state purely in VMEM
+    scratch — skips a (T, B, H) HBM write per direction-layer; returns
+    (hs, None).
 
     ``reverse=True`` runs the scan in DESCENDING time via reversed block
     index maps + descending in-block iteration; inputs and outputs stay in
@@ -166,16 +184,37 @@ def _forward_pallas(x_proj: jnp.ndarray, w_hh: jnp.ndarray, mask: jnp.ndarray,
     grid = seq_len // k_block
     idx = _scan_specs(grid, reverse)
 
+    in_specs = [
+        pl.BlockSpec((k_block, batch, four_h), idx),
+        pl.BlockSpec((k_block, batch, 1), idx),
+        pl.BlockSpec((hidden_dim, four_h), lambda t: (0, 0)),
+    ]
+    scratch = [
+        pltpu.VMEM((batch, hidden_dim), jnp.float32),
+        pltpu.VMEM((batch, hidden_dim), jnp.float32),
+    ] if pltpu is not None else None
+    args = (x_proj, mask.astype(dtype)[:, :, None], w_hh.astype(dtype))
+    if not with_cs:
+        kernel = functools.partial(_lstm_scan_nocs_kernel,
+                                   hidden_dim=hidden_dim,
+                                   k_block=k_block, scan_desc=reverse)
+        hs = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((k_block, batch, hidden_dim), idx),
+            out_shape=jax.ShapeDtypeStruct((seq_len, batch, hidden_dim),
+                                           dtype),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(*args)
+        return hs, None
     kernel = functools.partial(_lstm_scan_kernel, hidden_dim=hidden_dim,
                                k_block=k_block, scan_desc=reverse)
     hs, cs = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((k_block, batch, four_h), idx),
-            pl.BlockSpec((k_block, batch, 1), idx),
-            pl.BlockSpec((hidden_dim, four_h), lambda t: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((k_block, batch, hidden_dim), idx),
             pl.BlockSpec((k_block, batch, hidden_dim), idx),
@@ -184,12 +223,9 @@ def _forward_pallas(x_proj: jnp.ndarray, w_hh: jnp.ndarray, mask: jnp.ndarray,
             jax.ShapeDtypeStruct((seq_len, batch, hidden_dim), dtype),
             jax.ShapeDtypeStruct((seq_len, batch, hidden_dim), dtype),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((batch, hidden_dim), jnp.float32),
-            pltpu.VMEM((batch, hidden_dim), jnp.float32),
-        ] if pltpu is not None else None,
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(x_proj, mask.astype(dtype)[:, :, None], w_hh.astype(dtype))
+    )(*args)
     return hs, cs
 
 
@@ -561,11 +597,13 @@ def pallas_lstm_scan(x_proj, w_hh, mask, interpret: bool = False,
     Returns:
         hs: (T, B, H) hidden states, ZERO at padded positions.
 
-    Inference (undifferentiated) runs the lean no-gates kernel; under grad,
-    the forward streams out activated gates and the backward is the Pallas
-    adjoint kernel (1 matmul/step) + one big outside matmul for dW_hh.
+    Inference (undifferentiated) runs the lean no-gates, no-cs kernel (the
+    cell state never leaves VMEM); under grad, the forward streams out
+    activated gates and the backward is the Pallas adjoint kernel with
+    in-kernel dW_hh accumulation.
     """
-    hs, _ = _forward_pallas(x_proj, w_hh, mask, interpret, reverse=reverse)
+    hs, _ = _forward_pallas(x_proj, w_hh, mask, interpret, reverse=reverse,
+                            with_cs=False)
     return hs
 
 
@@ -674,15 +712,22 @@ def _fusedin_call(x, w_ih, b, w_hh, mask, interpret, reverse, train: bool):
                 x_r, m_r, wi_r, b_r, wh_r, h_r, c_r, hs, cs,
                 hidden_dim=hidden_dim, k_block=k_block, scan_desc=reverse,
                 train_gates=True, g_out_ref=g_r)
+    else:
+        # inference: no cs stream — the cell state stays in VMEM scratch
+        def kernel(x_r, m_r, wi_r, b_r, wh_r, h_r, hs, cs):  # noqa: F811
+            return _lstm_scan_fusedin_kernel(
+                x_r, m_r, wi_r, b_r, wh_r, h_r, None, hs, cs,
+                hidden_dim=hidden_dim, k_block=k_block, scan_desc=reverse)
     out_specs = [
-        pl.BlockSpec((k_block, batch, hidden_dim), idx),
         pl.BlockSpec((k_block, batch, hidden_dim), idx),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((seq_len, batch, hidden_dim), dtype),
-        jax.ShapeDtypeStruct((seq_len, batch, hidden_dim), dtype),
     ]
     if train:
+        out_specs.append(pl.BlockSpec((k_block, batch, hidden_dim), idx))
+        out_shape.append(jax.ShapeDtypeStruct((seq_len, batch, hidden_dim),
+                                              dtype))
         out_specs.append(pl.BlockSpec((k_block, batch, four_h), idx))
         out_shape.append(jax.ShapeDtypeStruct((seq_len, batch, four_h), dtype))
     outs = pl.pallas_call(
@@ -717,7 +762,7 @@ def pallas_lstm_scan_fusedin(x, w_ih, b, w_hh, mask, interpret: bool = False,
     adjoint kernel as ``pallas_lstm_scan``; the input-projection gradients
     become big outside matmuls over the streamed dpre.
     """
-    hs, _ = _fusedin_call(x, w_ih, b, w_hh, mask, interpret, reverse,
+    (hs,) = _fusedin_call(x, w_ih, b, w_hh, mask, interpret, reverse,
                           train=False)
     return hs
 
