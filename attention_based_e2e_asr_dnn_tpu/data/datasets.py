@@ -186,13 +186,22 @@ class LmTestDataset:
     src/lminfer.py:19-65, fixed)."""
 
     def __init__(self, pred_path: str, label_to_idx: Dict[str, int]):
-        import pandas as pd
-
         sos = label_to_idx["<sos>"]
         eos = label_to_idx["<eos>"]
-        df = pd.read_csv(pred_path, keep_default_na=False)
+        # content-based format detection (same as LmTrainDevDataset):
+        # submission CSVs have an id,label header; otherwise plain lines
+        with open(pred_path, "r") as fh:
+            first = fh.readline().strip().lower()
+        if first.replace(" ", "") == "id,label":
+            import pandas as pd
+
+            df = pd.read_csv(pred_path, keep_default_na=False)
+            lines = [str(p) for p in df["label"].tolist()]
+        else:
+            with open(pred_path, "r") as fh:
+                lines = [l.rstrip("\n") for l in fh]
         self.predictions = [
-            _wrap_ids(str(p), label_to_idx, sos, eos) for p in df["label"].tolist()
+            _wrap_ids(l, label_to_idx, sos, eos) for l in lines
         ]
 
     def __len__(self) -> int:

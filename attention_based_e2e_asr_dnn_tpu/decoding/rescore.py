@@ -119,6 +119,37 @@ def make_rewriter_scorer(lm_cfg, compute_dtype=jnp.float32):
     return score
 
 
+def fit_margin(margins, ld_inputs, ld_corrected):
+    """Choose the gate threshold that maximizes total LD improvement on a
+    LABELED calibration set: keep a correction iff its score margin exceeds
+    the fitted threshold.
+
+    ``margins[i]`` = score(correction_i) - score(input_i);
+    ``ld_*[i]`` = Levenshtein distance of each candidate vs gold. Returns
+    the threshold (float; ``inf`` when no threshold helps — gate everything
+    off). The fitted chain is never-worse ON THE CALIBRATION SET by
+    construction; a weak corrector whose likelihood overrates its own
+    rewrites (seen at garbage-milestone operating points) gets margined out
+    instead of regressing the output.
+    """
+    import numpy as np
+
+    margins = np.asarray(margins, np.float64)
+    gains = np.asarray(ld_inputs, np.float64) - np.asarray(ld_corrected,
+                                                           np.float64)
+    order = np.argsort(-margins)            # descending margin
+    sorted_gains = gains[order]
+    cum = np.cumsum(sorted_gains)           # total gain keeping top-k
+    best_k = int(np.argmax(cum))
+    if cum[best_k] <= 0:
+        return float("inf")
+    kept_margins = margins[order]
+    # threshold strictly below the k-th kept margin (and above the next)
+    lo = kept_margins[best_k + 1] if best_k + 1 < len(kept_margins) else (
+        kept_margins[best_k] - 1.0)
+    return float((kept_margins[best_k] + lo) / 2.0)
+
+
 def gate_corrections(scorer, params, x, lx, corrected_ids, eos_idx: int,
                      sos_idx: int, margin: float = 0.0,
                      pad_multiple: int = 32):

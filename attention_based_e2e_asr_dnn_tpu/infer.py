@@ -107,9 +107,14 @@ def infer_one_checkpoint(model_cfgs, infcfgs, checkpoint_filepath, batcher,
                            n_examples, compute_dtype=compute_dtype,
                            beam_step=beam_step)
 
-    out_filepath = checkpoint_filepath.replace(".ckpt", f"-{tag}.csv").replace(
-        "ckpts", "preds"
-    )
+    # rewrite the BASENAME and the immediate ckpts/ parent only — path
+    # components elsewhere that contain ".ckpt"/"ckpts" must survive
+    ckpt_dir = os.path.dirname(checkpoint_filepath)
+    out_dir = (os.path.join(os.path.dirname(ckpt_dir), "preds")
+               if os.path.basename(ckpt_dir) == "ckpts" else ckpt_dir)
+    out_filepath = os.path.join(
+        out_dir,
+        os.path.basename(checkpoint_filepath).replace(".ckpt", f"-{tag}.csv"))
     if template_filepath and os.path.exists(template_filepath):
         write_submission(preds, template_filepath, out_filepath)
     else:

@@ -34,6 +34,66 @@ from attention_based_e2e_asr_dnn_tpu.training.steps import make_infer_step
 from attention_based_e2e_asr_dnn_tpu.utils.levenshtein import ids_to_str
 
 
+def _decode_with_scores(step, scorer, params, batcher, n_examples):
+    """Decode every utterance; returns (corrected_strs, input_strs,
+    score_margins) in dataset order. Margins are 0.0 when no scorer."""
+    from attention_based_e2e_asr_dnn_tpu.decoding.rescore import (
+        gate_corrections,
+    )
+
+    corrected = [None] * n_examples
+    inputs = [None] * n_examples
+    margins = [0.0] * n_examples
+    for bt in batcher.epoch(0):
+        lx = bt.lx.astype(np.int32)
+        ids = np.asarray(step(params, bt.x, lx))
+        if scorer is not None:
+            _, s_corr, s_in = gate_corrections(
+                scorer, params, bt.x, lx, ids, constants.EOS_IDX,
+                constants.SOS_IDX, margin=0.0)
+        for row, orig in enumerate(bt.indices):
+            if orig >= 0:
+                corrected[orig] = ids_to_str(ids[row], constants.VOCAB,
+                                             constants.SOS_IDX,
+                                             constants.EOS_IDX)
+                inputs[orig] = ids_to_str(np.asarray(bt.x)[row][:lx[row]],
+                                          constants.VOCAB, constants.SOS_IDX,
+                                          constants.EOS_IDX)
+                if scorer is not None:
+                    margins[orig] = float(s_corr[row] - s_in[row])
+    return corrected, inputs, margins
+
+
+def _calibrate_margin(tstcfgs, step, scorer, params) -> float:
+    """Fit the gate threshold on the labeled calibration set
+    (CAL_PRED_DIR predictions + CAL_TRANS_DIR gold transcripts)."""
+    from attention_based_e2e_asr_dnn_tpu.decoding.rescore import fit_margin
+    from attention_based_e2e_asr_dnn_tpu.utils.levenshtein import levenshtein
+
+    cal_pred = getattr(tstcfgs, "CAL_PRED_DIR", None)
+    cal_trans = getattr(tstcfgs, "CAL_TRANS_DIR", None)
+    if not cal_pred or not cal_trans:
+        raise ValueError(
+            'confidence_margin: "auto" requires CAL_PRED_DIR (prediction '
+            "csv) and CAL_TRANS_DIR (gold transcript dir) in the config")
+    ds = LmTestDataset(cal_pred, constants.VOCAB_MAP)
+    cal_batcher = BucketBatcher(
+        ds, tstcfgs.batch_size, pad_time_multiple=32, has_labels=False,
+        label_pad_id=constants.EOS_IDX,
+    )
+    corrected, inputs, margins = _decode_with_scores(
+        step, scorer, params, cal_batcher, len(ds))
+    golds = []
+    for f in sorted(os.listdir(cal_trans)):
+        if f.endswith(".npy"):
+            raw = np.load(os.path.join(cal_trans, f))
+            golds.append("".join(str(c) for c in raw[1:-1]))
+    assert len(golds) == len(ds), "calibration csv/transcripts mismatch"
+    ld_in = [levenshtein(i, g) for i, g in zip(inputs, golds)]
+    ld_co = [levenshtein(c, g) for c, g in zip(corrected, golds)]
+    return fit_margin(margins, ld_in, ld_co)
+
+
 def infer_one_checkpoint(model_cfgs, tstcfgs, checkpoint_filepath, batcher,
                          n_examples, template_filepath) -> List[str]:
     print(f"running LM inference on checkpoint [{checkpoint_filepath}]")
@@ -74,47 +134,42 @@ def infer_one_checkpoint(model_cfgs, tstcfgs, checkpoint_filepath, batcher,
 
     # confidence gate (on by default): a rewrite only replaces its input when
     # the model scores it >= margin avg-log-prob/char ABOVE regenerating the
-    # input — makes the chain never-worse under the model's own likelihood
+    # input. confidence_margin: "auto" fits the threshold on a LABELED
+    # calibration set (CAL_PRED_DIR csv + CAL_TRANS_DIR transcripts, e.g.
+    # the dev pairs the LM trained on) — the fitted chain is never-worse on
+    # calibration by construction, which margins out weak correctors whose
+    # likelihood overrates their own rewrites.
     gate = bool(getattr(tstcfgs, "gate_correction", True))
-    margin = cfg_float(tstcfgs, "confidence_margin", 0.0)
+    raw_margin = getattr(tstcfgs, "confidence_margin", 0.0)
     scorer = None
     if gate:
         from attention_based_e2e_asr_dnn_tpu.decoding.rescore import (
-            gate_corrections,
             make_rewriter_scorer,
         )
 
         scorer = make_rewriter_scorer(lm_cfg)
 
-    preds = [None] * n_examples
-    n_kept = n_total = 0
-    for bt in batcher.epoch(0):
-        lx = bt.lx.astype(np.int32)
-        ids = np.asarray(step(params, bt.x, lx))
-        if scorer is not None:
-            use, _, _ = gate_corrections(
-                scorer, params, bt.x, lx, ids, constants.EOS_IDX,
-                constants.SOS_IDX, margin=margin)
-        else:
-            use = np.ones((ids.shape[0],), bool)
-        for row, orig in enumerate(bt.indices):
-            if orig >= 0:
-                n_total += 1
-                if use[row]:
-                    n_kept += 1
-                    preds[orig] = ids_to_str(ids[row], constants.VOCAB,
-                                             constants.SOS_IDX,
-                                             constants.EOS_IDX)
-                else:
-                    preds[orig] = ids_to_str(np.asarray(bt.x)[row][:lx[row]],
-                                             constants.VOCAB,
-                                             constants.SOS_IDX,
-                                             constants.EOS_IDX)
-    if scorer is not None:
-        print(f"confidence gate kept {n_kept}/{n_total} corrections "
-              f"(margin {margin})")
+    if scorer is not None and raw_margin == "auto":
+        margin = _calibrate_margin(tstcfgs, step, scorer, params)
+        print(f"auto-calibrated confidence margin: {margin:.4f}")
+    else:
+        margin = cfg_float(tstcfgs, "confidence_margin", 0.0)
 
-    out_filepath = checkpoint_filepath.replace(".ckpt", "-pred.csv")
+    corrected, inputs, margins = _decode_with_scores(
+        step, scorer, params, batcher, n_examples)
+    if scorer is not None:
+        use = [m > margin for m in margins]
+        preds = [c if u else i for c, i, u in zip(corrected, inputs, use)]
+        print(f"confidence gate kept {sum(use)}/{len(use)} corrections "
+              f"(margin {margin})")
+    else:
+        preds = corrected
+
+    # rewrite the BASENAME only — a parent directory whose name happens to
+    # contain ".ckpt" must not be rewritten
+    out_filepath = os.path.join(
+        os.path.dirname(checkpoint_filepath),
+        os.path.basename(checkpoint_filepath).replace(".ckpt", "-pred.csv"))
     try:
         import pandas as pd
 

@@ -753,8 +753,10 @@ def fused_decode_unavailable_reason(cfg, batch: int, enc_len: int,
     """Why the fused decoder can't serve this shape, or None if it can.
 
     The constraints are TPU blocked-layout requirements: 32/64-wide head
-    slices verified to lower on Mosaic (sub-lane-width vector slicing);
-    below 32 untested -> scan fallback.
+    slices verified to lower on Mosaic (sub-lane-width vector slicing).
+    d_head=16 PROBED on-chip (2026-08-17): isolated 16-wide slice+dot
+    kernels lower fine, but the full decode kernel crashes the Mosaic
+    compiler at 16 — the >=32 gate is a measured boundary, not caution.
     """
     if interpret is None:
         interpret = _auto_interpret()

@@ -305,3 +305,25 @@ def test_rewriter_scorer_end_to_end():
     cand = np.array([[0, 3, 4, 5, 29, 29, 29, 29]], np.int32)
     s = np.asarray(scorer(params, x, lx, cand, np.array([5], np.int32)))
     assert np.isfinite(s).all() and s.shape == (1,)
+
+
+def test_fit_margin_never_worse_on_calibration():
+    """fit_margin picks the threshold maximizing total LD gain; with no
+    helpful corrections it gates everything off (inf)."""
+    from attention_based_e2e_asr_dnn_tpu.decoding.rescore import fit_margin
+
+    # 4 utts: corrections help 2 (high margins), hurt 2 (low margins)
+    margins = [2.0, 1.5, 0.3, 0.1]
+    ld_in = [5, 4, 3, 3]
+    ld_co = [1, 2, 6, 9]       # gains: +4, +2, -3, -6
+    t = fit_margin(margins, ld_in, ld_co)
+    assert 0.3 < t < 1.5       # keeps the two helpful ones only
+
+    # corrector always hurts -> inf (gate everything off, never worse)
+    t2 = fit_margin([1.0, 2.0], [3, 3], [5, 7])
+    assert t2 == float("inf")
+
+    # interleaved gains: keeping top-3 by margin is optimal even though #2
+    # hurts a little
+    t3 = fit_margin([3.0, 2.0, 1.0, 0.5], [5, 5, 5, 5], [1, 6, 1, 9])
+    assert 0.5 < t3 < 1.0

@@ -293,6 +293,23 @@ def test_lm_pipeline_roundtrip(pipeline_dirs, tmp_path):
     df = pd.read_csv(out, keep_default_na=False)
     assert len(df) == n and list(df.columns) == ["id", "label"]
 
+    # auto-calibrated gate: margin fitted on the labeled dev pairs, applied
+    # to the target csv (never-worse on calibration by construction)
+    li_cfg_auto = dict(li_cfg)
+    li_cfg_auto.update({
+        "confidence_margin": "auto",
+        "CAL_PRED_DIR": dev_pred,
+        "CAL_TRANS_DIR": dev_trans,
+        "beam_size": 2,
+    })
+    li_auto_path = str(tmp_path / "lminfer-auto.yml")
+    with open(li_auto_path, "w") as fh:
+        yaml.safe_dump(li_cfg_auto, fh)
+    lminfer_mod.main(
+        lminfer_mod.build_argparser().parse_args(["-c", li_auto_path]))
+    df2 = pd.read_csv(out, keep_default_na=False)
+    assert len(df2) == n
+
 
 def test_serving_transcriber_matches_infer(pipeline_dirs, tmp_path):
     """The serving API loads an experiment and produces the same strings as
