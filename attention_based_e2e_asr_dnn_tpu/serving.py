@@ -70,6 +70,10 @@ class Transcriber:
         beam_size: >1 enables beam search; 0/1 = early-stop greedy.
         batch_size: static decode batch (requests are chunked/padded to it).
         pad_time_multiple: time bucket granularity (bounds compile count).
+        data_parallel: shard each decode batch across this many devices
+            (params replicated, batch dim split — the decode is
+            embarrassingly parallel per utterance, so GSPMD partitions it
+            with zero collectives). batch_size must divide evenly.
     """
 
     def __init__(
@@ -83,6 +87,7 @@ class Transcriber:
         batch_size: int = 32,
         pad_time_multiple: int = 128,
         auto_warmup: Optional[Sequence[int]] = None,
+        data_parallel: int = 1,
     ):
         from attention_based_e2e_asr_dnn_tpu.utils.compile_cache import (
             enable_compilation_cache,
@@ -114,6 +119,27 @@ class Transcriber:
             payload = load_checkpoint(checkpoint or _best_checkpoint(ckpt_dir))
         self.params = jax.tree.map(jnp.asarray, payload["params"])
 
+        # data-parallel decode: replicate params, shard the batch dim.
+        # Per-utterance decode has no cross-row dependence, so GSPMD
+        # partitions the whole program with zero collectives (ICI idle).
+        self._x_sharding = None
+        if data_parallel > 1:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+            if batch_size % data_parallel:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by "
+                    f"data_parallel {data_parallel}")
+            devs = jax.devices()
+            if len(devs) < data_parallel:
+                raise ValueError(
+                    f"data_parallel={data_parallel} but only "
+                    f"{len(devs)} devices visible")
+            mesh = Mesh(np.array(devs[:data_parallel]), ("dp",))
+            self._x_sharding = NamedSharding(mesh, PartitionSpec("dp"))
+            self.params = jax.device_put(
+                self.params, NamedSharding(mesh, PartitionSpec()))
+
         if beam_size > 1:
             from attention_based_e2e_asr_dnn_tpu.decoding.beam import (
                 make_las_beam_step,
@@ -143,34 +169,79 @@ class Transcriber:
 
         self._warm: set = set()
         self._warm_lock = threading.Lock()
+        self._ready_evt = threading.Event()
+        # foreground-priority accounting: the background warmup yields while
+        # requests are in flight (compiles/cache-loads and execution share
+        # one dispatch channel — warming mid-burst stalls live traffic).
+        self._fg_cv = threading.Condition()
+        self._fg_count = 0
         self._warmup_thread: Optional[threading.Thread] = None
         if auto_warmup:
             self._warmup_thread = threading.Thread(
                 target=self.warmup,
                 kwargs={"time_buckets": tuple(auto_warmup),
-                        "largest_first": True},
+                        "largest_first": True,
+                        "yield_to_foreground": True},
                 daemon=True,
             )
             self._warmup_thread.start()
 
     # ------------------------------------------------------------------
+    def _put(self, x: np.ndarray, lx: np.ndarray):
+        """Host batch -> device arrays (batch-sharded when data_parallel)."""
+        if self._x_sharding is None:
+            return jnp.asarray(x), jnp.asarray(lx)
+        return (jax.device_put(x, self._x_sharding),
+                jax.device_put(lx, self._x_sharding))
+
     def warmup(self, time_buckets: Sequence[int] = (512,),
-               largest_first: bool = False) -> None:
+               largest_first: bool = False,
+               yield_to_foreground: bool = False) -> None:
         """Precompile the decode program for the given time buckets.
 
         ``largest_first`` compiles the LARGEST bucket first: once it is
         warm, every request can route up to it, so a cold stream stalls on
         at most one compile; tighter buckets then trim pad waste as they
         come warm.
+
+        ``yield_to_foreground`` (the background auto-warmup mode) pauses
+        between buckets while live requests are in flight: warm-up
+        compiles and traffic share one dispatch channel, so warming
+        mid-burst would stall the very requests the ladder exists to serve.
         """
         buckets = sorted({pad_to_multiple(t, self.pad_time_multiple)
                           for t in time_buckets}, reverse=largest_first)
         for t_pad in buckets:
+            if yield_to_foreground and self._ready_evt.is_set():
+                with self._fg_cv:
+                    while self._fg_count > 0:
+                        self._fg_cv.wait(timeout=5.0)
+            with self._warm_lock:
+                if t_pad in self._warm:
+                    continue
             x = np.zeros((self.batch_size, t_pad, self.n_feats), np.float32)
             lx = np.full((self.batch_size,), t_pad, np.int32)
-            np.asarray(self._step(self.params, jnp.asarray(x), jnp.asarray(lx)))
-            with self._warm_lock:
-                self._warm.add(t_pad)
+            np.asarray(self._step(self.params, *self._put(x, lx)))
+            self._mark_warm(t_pad)
+
+    def _mark_warm(self, t_pad: int) -> None:
+        with self._warm_lock:
+            self._warm.add(t_pad)
+        self._ready_evt.set()
+
+    def wait_ready(self, timeout: Optional[float] = None) -> bool:
+        """Block until the server can absorb a cold mixed-length stream
+        without a compile stall — i.e. until the FIRST (largest) bucket of
+        the auto-warmup ladder is warm and every request can route up to it.
+
+        Readiness is a *startup* cost (a deployment gates traffic on it,
+        like a k8s readiness probe), not a per-request one. Returns True
+        when ready. With no auto-warmup configured this returns
+        immediately — the first request then pays its own compile.
+        """
+        if self._warmup_thread is None:
+            return True
+        return self._ready_evt.wait(timeout)
 
     def wait_warm(self, timeout: Optional[float] = None) -> None:
         """Block until the background auto-warmup ladder finishes."""
@@ -199,26 +270,32 @@ class Transcriber:
         n = len(features)
         order = sorted(range(n), key=lambda i: len(features[i]), reverse=True)
         out: List[Optional[str]] = [None] * n
-        for start in range(0, n, self.batch_size):
-            chunk = order[start : start + self.batch_size]
-            rows = list(chunk)
-            while len(rows) < self.batch_size:  # repeat-pad the last batch
-                rows.append(rows[-1])
-            t_pad = self._route_bucket(
-                max(len(features[i]) for i in chunk))
-            x = np.zeros((self.batch_size, t_pad, self.n_feats), np.float32)
-            lx = np.zeros((self.batch_size,), np.int32)
-            for r, i in enumerate(rows):
-                f = np.asarray(features[i], np.float32)[:, : self.n_feats]
-                x[r, : len(f)] = f
-                lx[r] = len(f)
-            ids = np.asarray(self._step(self.params, jnp.asarray(x),
-                                        jnp.asarray(lx)))
-            with self._warm_lock:
-                self._warm.add(t_pad)
-            for r, i in enumerate(chunk):
-                out[i] = ids_to_str(ids[r], self.vocab, self.sos_idx,
-                                    self.eos_idx)
+        with self._fg_cv:
+            self._fg_count += 1
+        try:
+            for start in range(0, n, self.batch_size):
+                chunk = order[start : start + self.batch_size]
+                rows = list(chunk)
+                while len(rows) < self.batch_size:  # repeat-pad last batch
+                    rows.append(rows[-1])
+                t_pad = self._route_bucket(
+                    max(len(features[i]) for i in chunk))
+                x = np.zeros((self.batch_size, t_pad, self.n_feats),
+                             np.float32)
+                lx = np.zeros((self.batch_size,), np.int32)
+                for r, i in enumerate(rows):
+                    f = np.asarray(features[i], np.float32)[:, : self.n_feats]
+                    x[r, : len(f)] = f
+                    lx[r] = len(f)
+                ids = np.asarray(self._step(self.params, *self._put(x, lx)))
+                self._mark_warm(t_pad)
+                for r, i in enumerate(chunk):
+                    out[i] = ids_to_str(ids[r], self.vocab, self.sos_idx,
+                                        self.eos_idx)
+        finally:
+            with self._fg_cv:
+                self._fg_count -= 1
+                self._fg_cv.notify_all()
         assert all(s is not None for s in out)
         return out  # type: ignore[return-value]
 

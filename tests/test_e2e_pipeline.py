@@ -415,6 +415,9 @@ def test_serving_route_up_and_streaming(pipeline_dirs, tmp_path):
 
     t = Transcriber(run_dir, batch_size=4, pad_time_multiple=16,
                     auto_warmup=[16, 48])
+    # readiness gate: True once the FIRST (largest-first) bucket is warm
+    assert t.wait_ready(timeout=300)
+    assert 48 in t._warm
     t.wait_warm()
     assert t._warm == {16, 48}
     # route-up: a 17-frame batch needs t_pad 32 (cold) -> routes to warm 48
@@ -434,3 +437,66 @@ def test_serving_route_up_and_streaming(pipeline_dirs, tmp_path):
     streamed = [f.result(timeout=120) for f in futs]
     st.close()
     assert streamed == direct
+
+    # background warmup yields to foreground traffic: with a request "in
+    # flight" (fg_count held), a yield_to_foreground warmup on a READY
+    # server must not touch its bucket until the foreground drains
+    import threading
+    import time as _time
+
+    t2 = Transcriber(run_dir, batch_size=4, pad_time_multiple=16)
+    assert t2.wait_ready(timeout=1)  # no auto-warmup -> trivially ready
+    t2._step = lambda p, x, lx: np.zeros((4, 5), np.int32)  # instant stub
+    t2._ready_evt.set()
+    with t2._fg_cv:
+        t2._fg_count += 1
+    th = threading.Thread(
+        target=t2.warmup,
+        kwargs={"time_buckets": [32], "yield_to_foreground": True})
+    th.start()
+    _time.sleep(0.3)
+    assert 32 not in t2._warm  # blocked behind the live request
+    with t2._fg_cv:
+        t2._fg_count -= 1
+        t2._fg_cv.notify_all()
+    th.join(30)
+    assert 32 in t2._warm
+
+
+def test_serving_data_parallel_matches_single_device(pipeline_dirs, tmp_path):
+    """DP-sharded serving (batch split over the 8-CPU virtual mesh, params
+    replicated) returns the SAME transcripts as single-device decode, and the
+    sharded inputs actually land distributed."""
+    import jax
+
+    from attention_based_e2e_asr_dnn_tpu import train as train_mod
+    from attention_based_e2e_asr_dnn_tpu.serving import Transcriber
+
+    root, words = pipeline_dirs
+    exp_dir = str(tmp_path / "exp_srvdp")
+    cfg_path = str(tmp_path / "cfg_srvdp.yml")
+    cfg = _train_config(root, exp_dir)
+    cfg["epochs"] = 1
+    with open(cfg_path, "w") as fh:
+        yaml.safe_dump(cfg, fh)
+    train_mod.main(train_mod.build_argparser().parse_args(["-c", cfg_path]))
+    run_dir = [os.path.join(exp_dir, r) for r in os.listdir(exp_dir)
+               if r != "milestones"][0]
+
+    mfcc_dir = os.path.join(root, "test-clean", "mfcc")
+    feats = [np.load(os.path.join(mfcc_dir, f))
+             for f in sorted(os.listdir(mfcc_dir)) if f.endswith(".npy")][:8]
+
+    t1 = Transcriber(run_dir, batch_size=8, pad_time_multiple=16)
+    tdp = Transcriber(run_dir, batch_size=8, pad_time_multiple=16,
+                      data_parallel=4)
+    # the batch really shards: 4 addressable shards, 2 rows each
+    x = np.zeros((8, 16, tdp.n_feats), np.float32)
+    sharded = jax.device_put(x, tdp._x_sharding)
+    assert len(sharded.addressable_shards) == 4
+    assert sharded.addressable_shards[0].data.shape[0] == 2
+    assert t1.transcribe(feats) == tdp.transcribe(feats)
+
+    with pytest.raises(ValueError, match="divisible"):
+        Transcriber(run_dir, batch_size=6, pad_time_multiple=16,
+                    data_parallel=4)
