@@ -135,15 +135,23 @@ def fit_margin(margins, ld_inputs, ld_corrected):
     import numpy as np
 
     margins = np.asarray(margins, np.float64)
+    if margins.size == 0:       # no calibration pairs -> gate everything off
+        return float("inf")     # (never-worse holds trivially)
     gains = np.asarray(ld_inputs, np.float64) - np.asarray(ld_corrected,
                                                            np.float64)
     order = np.argsort(-margins)            # descending margin
     sorted_gains = gains[order]
+    kept_margins = margins[order]
     cum = np.cumsum(sorted_gains)           # total gain keeping top-k
-    best_k = int(np.argmax(cum))
+    # a strict `m > threshold` gate can only cut between DISTINCT margin
+    # values — restrict the argmax to cut points that a threshold can
+    # actually realize (tied margins are kept or dropped together)
+    achievable = np.ones(margins.size, bool)
+    achievable[:-1] = kept_margins[:-1] > kept_margins[1:]
+    cand = np.flatnonzero(achievable)
+    best_k = int(cand[np.argmax(cum[cand])])
     if cum[best_k] <= 0:
         return float("inf")
-    kept_margins = margins[order]
     # threshold strictly below the k-th kept margin (and above the next)
     lo = kept_margins[best_k + 1] if best_k + 1 < len(kept_margins) else (
         kept_margins[best_k] - 1.0)
@@ -185,7 +193,14 @@ def gate_corrections(scorer, params, x, lx, corrected_ids, eos_idx: int,
     x_wide = np.full((batch, width), eos_idx, np.int32)
     x_wide[:, : x.shape[1]] = x
 
-    score_corr = np.asarray(scorer(params, x, lx, cand, lc))
-    score_input = np.asarray(scorer(params, x, lx, x_wide, lx))
+    # ONE stacked dispatch scores both candidates (rows 0..B-1 = the
+    # correction, rows B..2B-1 = regenerating the input) — the encoder
+    # work is the same either way, but the relay is dispatch-floor-bound,
+    # so halving per-batch dispatches matters on every gated batch
+    scores = np.asarray(scorer(
+        params,
+        np.concatenate([x, x], 0), np.concatenate([lx, lx], 0),
+        np.concatenate([cand, x_wide], 0), np.concatenate([lc, lx], 0)))
+    score_corr, score_input = scores[:batch], scores[batch:]
     use = score_corr > score_input + margin
     return use, score_corr, score_input

@@ -83,11 +83,13 @@ def _calibrate_margin(tstcfgs, step, scorer, params) -> float:
     )
     corrected, inputs, margins = _decode_with_scores(
         step, scorer, params, cal_batcher, len(ds))
-    golds = []
-    for f in sorted(os.listdir(cal_trans)):
-        if f.endswith(".npy"):
-            raw = np.load(os.path.join(cal_trans, f))
-            golds.append("".join(str(c) for c in raw[1:-1]))
+    # gold transcripts in the SAME order authority the LM training dataset
+    # uses (_npy_files: sorted .npy scan) — prediction row i pairs with
+    # transcript file i, the reference's lmtrain pairing convention
+    from attention_based_e2e_asr_dnn_tpu.data.datasets import _npy_files
+
+    golds = ["".join(str(c) for c in np.load(f)[1:-1])
+             for f in _npy_files(cal_trans)]
     assert len(golds) == len(ds), "calibration csv/transcripts mismatch"
     ld_in = [levenshtein(i, g) for i, g in zip(inputs, golds)]
     ld_co = [levenshtein(c, g) for c, g in zip(corrected, golds)]
@@ -152,6 +154,11 @@ def infer_one_checkpoint(model_cfgs, tstcfgs, checkpoint_filepath, batcher,
     if scorer is not None and raw_margin == "auto":
         margin = _calibrate_margin(tstcfgs, step, scorer, params)
         print(f"auto-calibrated confidence margin: {margin:.4f}")
+    elif raw_margin == "auto":
+        # gate_correction: false makes the margin irrelevant — don't crash
+        # on float("auto"), just note the no-op
+        print("confidence_margin: auto ignored (gate_correction is off)")
+        margin = 0.0
     else:
         margin = cfg_float(tstcfgs, "confidence_margin", 0.0)
 

@@ -44,9 +44,12 @@ class PipelineState(NamedTuple):
 
     ``acc_listener``/``acc_speller`` hold the cross-batch gradient
     accumulators when ``accu_grad > 1`` (None between windows / when
-    accumulation is off). They are NOT checkpointed: resuming mid-window
-    restarts the accumulation window (the single-device optax.MultiSteps
-    counterpart checkpoints its window, a documented deviation)."""
+    accumulation is off), and ``acc_count`` is the window position — kept
+    IN the state (not a host-side counter) so a state reset/rollback/resume
+    can never desync position from accumulator. They are NOT checkpointed:
+    resuming mid-window restarts the accumulation window (the single-device
+    optax.MultiSteps counterpart checkpoints its window, a documented
+    deviation)."""
 
     params_listener: dict
     params_speller: dict
@@ -55,6 +58,7 @@ class PipelineState(NamedTuple):
     rng: jax.Array
     acc_listener: Optional[dict] = None
     acc_speller: Optional[dict] = None
+    acc_count: int = 0
 
     # Trainer-protocol views (checkpoint payloads, eval, summaries)
     @property
@@ -80,6 +84,7 @@ def place_pipeline_state(state: PipelineState, devices: Sequence) -> PipelineSta
                       if state.acc_listener is not None else None),
         acc_speller=(jax.device_put(state.acc_speller, d1)
                      if state.acc_speller is not None else None),
+        acc_count=state.acc_count,
     )
 
 
@@ -188,7 +193,6 @@ def make_pipeline_train_step(
         )
         return optax.apply_updates(p, updates), opt_state
 
-    call_count = [0]  # host-side window position for accum_steps > 1
     tree_add = jax.jit(lambda a, b: jax.tree.map(jnp.add, a, b))
     tree_scale = jax.jit(lambda a, s: jax.tree.map(lambda x: x * s, a))
     sq_norm = jax.jit(lambda a: sum(
@@ -257,13 +261,15 @@ def make_pipeline_train_step(
                       else tree_add(state.acc_listener, g_ls_s))
             acc_sp = (g_sp_s if state.acc_speller is None
                       else tree_add(state.acc_speller, g_sp_s))
-            call_count[0] += 1
-            if call_count[0] % accum_steps != 0:
+            # window position derives from the STATE (acc_count travels
+            # with the accumulators) — a rollback/resume/fresh state can
+            # never desync position from accumulated gradient
+            if (state.acc_count + 1) % accum_steps != 0:
                 # mid-window: stash the accumulators, no update this call
                 new_state = PipelineState(
                     state.params_listener, state.params_speller,
                     state.opt_listener, state.opt_speller, rng,
-                    acc_ls, acc_sp)
+                    acc_ls, acc_sp, state.acc_count + 1)
                 return new_state, {
                     "loss": loss, "ppl": jnp.exp(loss), "n_tokens": tok_sum,
                     "grad_norm": jnp.zeros(()), "finite": jnp.asarray(True)}

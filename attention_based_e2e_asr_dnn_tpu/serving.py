@@ -170,6 +170,12 @@ class Transcriber:
         self._warm: set = set()
         self._warm_lock = threading.Lock()
         self._ready_evt = threading.Event()
+        # ready = a bucket at least as large as the ladder's LARGEST is
+        # warm (only then can every request route up without a compile);
+        # a small early request warming a tight bucket must NOT flip it
+        self._ready_bucket = (max(pad_to_multiple(t, pad_time_multiple)
+                                  for t in auto_warmup)
+                              if auto_warmup else 0)
         # foreground-priority accounting: the background warmup yields while
         # requests are in flight (compiles/cache-loads and execution share
         # one dispatch channel — warming mid-burst stalls live traffic).
@@ -227,7 +233,8 @@ class Transcriber:
     def _mark_warm(self, t_pad: int) -> None:
         with self._warm_lock:
             self._warm.add(t_pad)
-        self._ready_evt.set()
+        if t_pad >= self._ready_bucket:
+            self._ready_evt.set()
 
     def wait_ready(self, timeout: Optional[float] = None) -> bool:
         """Block until the server can absorb a cold mixed-length stream
@@ -321,9 +328,13 @@ class StreamingTranscriber:
         self._worker.start()
 
     def submit(self, features: np.ndarray):
-        """Enqueue one (T, n_feats) array; returns a concurrent Future."""
+        """Enqueue one (T, n_feats) array; returns a concurrent Future.
+        Raises RuntimeError after close() — the worker is gone, so the
+        Future would never resolve."""
         from concurrent.futures import Future
 
+        if self._closed:
+            raise RuntimeError("StreamingTranscriber is closed")
         fut: Future = Future()
         self._q.put((features, fut))
         return fut

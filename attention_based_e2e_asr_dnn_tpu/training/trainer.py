@@ -231,11 +231,14 @@ class Trainer:
 
     def _eval_params(self):
         """Params view for eval/decoding — pipeline stages live on different
-        devices, so gather them onto one for the single-program eval step."""
+        devices, so gather them onto one for the single-program eval step.
+        Direct device_put moves each leaf device-to-device (ICI on real
+        hardware) — no host round-trip (a ~200 MB/eval D2H+H2D bounce on
+        the flagship before round 3)."""
         if self.pipeline_cfg is None:
             return self.state.params
         dev = jax.devices()[0]
-        return jax.tree.map(lambda a: jax.device_put(np.asarray(a), dev),
+        return jax.tree.map(lambda a: jax.device_put(a, dev),
                             self.state.params)
 
     # ------------------------------------------------------------------

@@ -327,3 +327,29 @@ def test_fit_margin_never_worse_on_calibration():
     # hurts a little
     t3 = fit_margin([3.0, 2.0, 1.0, 0.5], [5, 5, 5, 5], [1, 6, 1, 9])
     assert 0.5 < t3 < 1.0
+
+
+def test_fit_margin_empty_and_ties():
+    """Degenerate calibration inputs: empty set gates everything off;
+    tied margins pick a threshold a strict `>` gate can realize (the
+    applied selection equals the fitted one)."""
+    import numpy as np
+
+    from attention_based_e2e_asr_dnn_tpu.decoding.rescore import fit_margin
+
+    # empty calibration set: never-worse trivially, no crash
+    assert fit_margin([], [], []) == float("inf")
+
+    # ties at the optimum cut: margins #1 and #2 are equal; the unachievable
+    # cut between them must not be chosen. Gains +4, +2, -3: keeping the
+    # tied pair together (+6) beats the realizable top-1... but top-1 is
+    # unachievable (tie), so both tied items are kept.
+    t = fit_margin([1.0, 1.0, 0.2], [5, 5, 5], [1, 3, 8])
+    kept = np.asarray([1.0, 1.0, 0.2]) > t
+    assert kept.tolist() == [True, True, False]
+
+    # tie where keeping the pair LOSES: gains +4, -5 -> keep nothing
+    # above... the only achievable cuts are {none kept} and {both kept};
+    # both kept nets -1, so gate off entirely
+    t2 = fit_margin([1.0, 1.0], [5, 5], [1, 10])
+    assert np.sum(np.asarray([1.0, 1.0]) > t2) == 0
