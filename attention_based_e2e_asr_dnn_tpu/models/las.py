@@ -207,8 +207,18 @@ _DECODE_ROUTES: dict = {}
 _WARNED_FALLBACKS: set = set()
 
 
-def _record_decode_route(impl: str, batch: int, enc_len: int) -> None:
-    _DECODE_ROUTES[(batch, enc_len)] = impl
+def _decoder_key(cfg) -> str:
+    """Identify the decoder a route belongs to — two models sharing a
+    process (e.g. LAS speller + Rewriter decoder) can trace the SAME
+    (batch, enc_len) shape through different configs; keying on shape
+    alone would let one overwrite the other's entry."""
+    return (f"p{cfg.att_proj_dim}h{cfg.att_heads}"
+            f"e{cfg.dec_emb_dim}d{cfg.dec_lstm_hid_dim}"
+            f"o{cfg.dec_lstm_out_dim}")
+
+
+def _record_decode_route(impl: str, cfg, batch: int, enc_len: int) -> None:
+    _DECODE_ROUTES[(_decoder_key(cfg), batch, enc_len)] = impl
 
 
 def _warn_fused_fallback(batch: int, enc_len: int, reason: str) -> None:
@@ -224,10 +234,12 @@ def _warn_fused_fallback(batch: int, enc_len: int, reason: str) -> None:
 
 
 def decode_route_report() -> dict:
-    """Which decoder implementation served each traced (batch, enc_len) shape
-    — surfaced in the shape/FLOP summary (utils/summary.py)."""
-    return {f"B={b},Te={t}": impl for (b, t), impl in
-            sorted(_DECODE_ROUTES.items())}
+    """Which decoder implementation served each traced (decoder, batch,
+    enc_len) shape — surfaced in the shape/FLOP summary (utils/summary.py).
+    The decoder key disambiguates models sharing one process."""
+    many = len({k for (k, _, _) in _DECODE_ROUTES}) > 1
+    return {(f"[{k}]B={b},Te={t}" if many else f"B={b},Te={t}"): impl
+            for (k, b, t), impl in sorted(_DECODE_ROUTES.items())}
 
 
 def speller_apply(
@@ -265,12 +277,12 @@ def speller_apply(
         else:
             reason = fused_decode_unavailable_reason(cfg, batch, enc_max_len)
             if reason is None:
-                _record_decode_route("pallas", batch, enc_max_len)
+                _record_decode_route("pallas", cfg, batch, enc_max_len)
                 return speller_apply_fused(
                     params, cfg, rng, enc_h, enc_l, dec_y, tf_rate, train
                 )
             _warn_fused_fallback(batch, enc_max_len, reason)
-    _record_decode_route("scan", batch, enc_max_len)
+    _record_decode_route("scan", cfg, batch, enc_max_len)
     dtype = enc_h.dtype
     emb = params["char_emb"].astype(dtype)
 

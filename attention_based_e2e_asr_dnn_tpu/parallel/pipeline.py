@@ -197,6 +197,8 @@ def make_pipeline_train_step(
     tree_scale = jax.jit(lambda a, s: jax.tree.map(lambda x: x * s, a))
     sq_norm = jax.jit(lambda a: sum(
         jnp.sum(jnp.square(x.astype(jnp.float32))) for x in jax.tree.leaves(a)))
+    tree_zero_unless = jax.jit(lambda a, ok: jax.tree.map(
+        lambda x: jnp.where(ok, x, jnp.zeros_like(x)), a))
 
     def step(state: PipelineState, x, lx, y, ly, tf_rate, lr):
         batch = x.shape[0]
@@ -252,6 +254,23 @@ def make_pipeline_train_step(
         g_ls_acc = tree_scale(g_ls_acc, jax.device_put(inv, d0))
         loss = loss_sum * inv
 
+        # per-BATCH global norm (cross-stage: only two scalars cross the
+        # wire). With accumulation this guards each batch BEFORE it enters
+        # the accumulator — steps.py zeroes a non-finite batch's grads so
+        # the rest of the window still produces a real update; without the
+        # per-batch guard one poisoned batch would silently void the whole
+        # window. (Deviation: the single-device MultiSteps no-op also skips
+        # the window-counter advance — here the zeroed batch still counts
+        # toward the window, so the window mean divides by accum_steps.)
+        batch_sq = (sq_norm(g_ls_acc) + jax.device_put(sq_norm(g_sp_acc), d0))
+        gnorm_batch = jnp.sqrt(batch_sq)
+        ok_batch = (jnp.isfinite(gnorm_batch) if nan_guard
+                    else jnp.asarray(True))
+        if nan_guard and accum_steps > 1:
+            g_ls_acc = tree_zero_unless(g_ls_acc, ok_batch)
+            g_sp_acc = tree_zero_unless(g_sp_acc,
+                                        jax.device_put(ok_batch, d1))
+
         if accum_steps > 1:
             # mean over the window of per-batch token-mean grads — the same
             # quantity optax.MultiSteps hands its inner chain at the boundary
@@ -265,22 +284,24 @@ def make_pipeline_train_step(
             # with the accumulators) — a rollback/resume/fresh state can
             # never desync position from accumulated gradient
             if (state.acc_count + 1) % accum_steps != 0:
-                # mid-window: stash the accumulators, no update this call
+                # mid-window: stash the accumulators, no update this call.
+                # grad_norm/finite report THIS batch so a poisoned batch is
+                # visible in the logs the moment it happens.
                 new_state = PipelineState(
                     state.params_listener, state.params_speller,
                     state.opt_listener, state.opt_speller, rng,
                     acc_ls, acc_sp, state.acc_count + 1)
                 return new_state, {
                     "loss": loss, "ppl": jnp.exp(loss), "n_tokens": tok_sum,
-                    "grad_norm": jnp.zeros(()), "finite": jnp.asarray(True)}
+                    "grad_norm": gnorm_batch, "finite": ok_batch}
             # boundary: clip/guard/update on the ACCUMULATED gradient
             g_ls_acc, g_sp_acc = acc_ls, acc_sp
-
-        # cross-stage GLOBAL norm: only two scalars cross the wire. Feeds
-        # both the clip and the non-finite no-op guard (steps.py parity).
-        total_sq = (sq_norm(g_ls_acc) + jax.device_put(sq_norm(g_sp_acc), d0))
-        gnorm = jnp.sqrt(total_sq)
-        ok = jnp.isfinite(gnorm) if nan_guard else jnp.asarray(True)
+            total_sq = (sq_norm(g_ls_acc)
+                        + jax.device_put(sq_norm(g_sp_acc), d0))
+            gnorm = jnp.sqrt(total_sq)
+            ok = jnp.isfinite(gnorm) if nan_guard else jnp.asarray(True)
+        else:
+            gnorm, ok = gnorm_batch, ok_batch
         if grad_norm and grad_norm > 0.0:
             scale = jnp.minimum(1.0, grad_norm / (gnorm + 1e-12))
             g_ls_acc = tree_scale(g_ls_acc, scale)

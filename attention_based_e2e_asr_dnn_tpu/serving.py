@@ -182,15 +182,24 @@ class Transcriber:
         self._fg_cv = threading.Condition()
         self._fg_count = 0
         self._warmup_thread: Optional[threading.Thread] = None
+        self._warmup_error: Optional[BaseException] = None
         if auto_warmup:
             self._warmup_thread = threading.Thread(
-                target=self.warmup,
-                kwargs={"time_buckets": tuple(auto_warmup),
-                        "largest_first": True,
-                        "yield_to_foreground": True},
+                target=self._warmup_bg, args=(tuple(auto_warmup),),
                 daemon=True,
             )
             self._warmup_thread.start()
+
+    def _warmup_bg(self, time_buckets) -> None:
+        """Background-warmup wrapper: a compile failure must not vanish
+        into a dead daemon thread — record it and release wait_ready()
+        so the caller sees the error instead of blocking forever."""
+        try:
+            self.warmup(time_buckets, largest_first=True,
+                        yield_to_foreground=True)
+        except BaseException as exc:  # noqa: BLE001 - resurfaced in wait_ready
+            self._warmup_error = exc
+            self._ready_evt.set()
 
     # ------------------------------------------------------------------
     def _put(self, x: np.ndarray, lx: np.ndarray):
@@ -248,7 +257,11 @@ class Transcriber:
         """
         if self._warmup_thread is None:
             return True
-        return self._ready_evt.wait(timeout)
+        got = self._ready_evt.wait(timeout)
+        if self._warmup_error is not None:
+            raise RuntimeError(
+                "background auto-warmup failed") from self._warmup_error
+        return got
 
     def wait_warm(self, timeout: Optional[float] = None) -> None:
         """Block until the background auto-warmup ladder finishes."""
@@ -324,6 +337,10 @@ class StreamingTranscriber:
         self.max_wait_ms = max_wait_ms
         self._q: "queue.Queue" = queue.Queue()
         self._closed = False
+        # serializes submit()'s closed-check+enqueue against close()'s
+        # set-closed+sentinel: an accepted request always lands BEFORE the
+        # sentinel, so the worker never exits with live requests queued
+        self._close_lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -333,15 +350,17 @@ class StreamingTranscriber:
         Future would never resolve."""
         from concurrent.futures import Future
 
-        if self._closed:
-            raise RuntimeError("StreamingTranscriber is closed")
         fut: Future = Future()
-        self._q.put((features, fut))
+        with self._close_lock:
+            if self._closed:
+                raise RuntimeError("StreamingTranscriber is closed")
+            self._q.put((features, fut))
         return fut
 
     def close(self) -> None:
-        self._closed = True
-        self._q.put(None)
+        with self._close_lock:
+            self._closed = True
+            self._q.put(None)
         self._worker.join()
 
     def _run(self) -> None:
@@ -366,11 +385,22 @@ class StreamingTranscriber:
                     self._q.put(None)  # re-signal close after this batch
                     break
                 batch.append(nxt)
+            # claim each future: a client that already cancel()ed (e.g.
+            # after a result timeout) is dropped here, and a RUNNING future
+            # can no longer be cancelled — set_result below cannot race a
+            # client-side state change and kill the worker
+            batch = [(f, fut) for f, fut in batch
+                     if fut.set_running_or_notify_cancel()]
+            if not batch:
+                continue
             feats = [b[0] for b in batch]
             try:
                 texts = self.t.transcribe(feats)
                 for (_, fut), text in zip(batch, texts):
                     fut.set_result(text)
-            except Exception as exc:  # pragma: no cover - defensive
+            except Exception as exc:
                 for _, fut in batch:
-                    fut.set_exception(exc)
+                    try:
+                        fut.set_exception(exc)
+                    except Exception:  # pragma: no cover - already resolved
+                        pass

@@ -45,17 +45,15 @@ def sample_realistic_lengths(n_utts: int, seed: int = 0):
     import sys
 
     sys.path.insert(0, os.path.join(HERE, "tools"))
-    from make_synthetic_data import LEXICON
+    from make_synthetic_data import sample_utterance
 
     rng = np.random.default_rng(seed)
     frames, chars = [], []
     for _ in range(n_utts):
-        n_words = int(rng.integers(25, 46))
-        text = " ".join(rng.choice(LEXICON, size=n_words))
-        n_chars = len(text)
-        n_frames = int(rng.integers(4, 10, size=n_chars).sum())
-        frames.append(n_frames)
-        chars.append(n_chars)
+        # the long-form knobs (--words 25 45) of the corpus generator
+        text, durations = sample_utterance(rng, words_min=25, words_max=45)
+        frames.append(int(durations.sum()))
+        chars.append(len(text))
     return np.array(frames), np.array(chars)
 
 

@@ -500,3 +500,41 @@ def test_serving_data_parallel_matches_single_device(pipeline_dirs, tmp_path):
     with pytest.raises(ValueError, match="divisible"):
         Transcriber(run_dir, batch_size=6, pad_time_multiple=16,
                     data_parallel=4)
+
+
+def test_streaming_worker_survives_cancelled_future():
+    """A client that times out and cancel()s its Future must not kill the
+    dispatcher thread (set_result on a CANCELLED future raises); later
+    submits still resolve and close() still returns. Also: submit/close
+    are serialized, so an accepted request always resolves."""
+    import threading
+
+    from attention_based_e2e_asr_dnn_tpu.serving import StreamingTranscriber
+
+    release = threading.Event()
+    first_call = [True]
+
+    class FakeTranscriber:
+        batch_size = 2
+
+        def transcribe(self, feats):
+            if first_call[0]:
+                first_call[0] = False
+                release.wait(timeout=30)
+            return ["ok"] * len(feats)
+
+    st = StreamingTranscriber(FakeTranscriber(), max_wait_ms=1.0)
+    f1 = st.submit(np.zeros((3, 15), np.float32))   # worker blocks on this
+    import time as _time
+
+    _time.sleep(0.1)                                 # worker inside batch 1
+    f2 = st.submit(np.zeros((3, 15), np.float32))   # still PENDING
+    assert f2.cancel()                               # client gave up
+    release.set()
+    assert f1.result(timeout=30) == "ok"
+    # worker must still be alive: a fresh submit resolves
+    f3 = st.submit(np.zeros((3, 15), np.float32))
+    assert f3.result(timeout=30) == "ok"
+    st.close()                                       # no hang
+    with pytest.raises(RuntimeError, match="closed"):
+        st.submit(np.zeros((3, 15), np.float32))

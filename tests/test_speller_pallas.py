@@ -272,3 +272,27 @@ def test_fallback_warning_surfaces(capsys):
     speller_apply(params, cfg_pallas, jax.random.key(1), enc_h, enc_l, dec_y,
                   tf_rate=1.0, init_force=True, train=True)
     assert "fell back" not in capsys.readouterr().err
+
+
+def test_route_registry_distinguishes_decoders():
+    """Two decoder configs tracing the SAME (batch, enc_len) shape must not
+    overwrite each other's route entry (a process running the LAS speller
+    AND the Rewriter decoder would otherwise misreport which impl served
+    which model in the shape/FLOP summary)."""
+    import dataclasses
+
+    from attention_based_e2e_asr_dnn_tpu.models import las as las_mod
+
+    cfg, params, enc_h, enc_l, dec_y, _ = _setup()
+    las_mod._DECODE_ROUTES.clear()
+    speller_apply(params, cfg, jax.random.key(0), enc_h, enc_l, dec_y,
+                  tf_rate=1.0, train=True)
+    # a second decoder with different dims, same (B, Te) trace shape
+    cfg2 = dataclasses.replace(cfg, att_heads=2)
+    params2 = speller_init(jax.random.key(1), cfg2)
+    speller_apply(params2, cfg2, jax.random.key(0), enc_h, enc_l, dec_y,
+                  tf_rate=1.0, train=True)
+    report = las_mod.decode_route_report()
+    assert len(report) == 2          # both entries survive
+    assert all("[" in k for k in report)   # disambiguated labels
+    las_mod._DECODE_ROUTES.clear()

@@ -33,6 +33,24 @@ LEXICON = [
 ]
 
 
+def sample_utterance(rng: np.random.Generator, words_min: int = 3,
+                     words_max: int = 10,
+                     frames_per_char: tuple = (4, 9)):
+    """Draw one utterance's text + per-character frame durations.
+
+    This is THE generative process for the synthetic corpus — the single
+    authority on its length distribution. ``generate`` below renders it to
+    features; ``bench.py``'s realistic mode samples it to time a workload
+    with the corpus's true pad-waste profile (no duplicated constants that
+    could silently diverge).
+    """
+    n_words = int(rng.integers(words_min, words_max + 1))
+    text = " ".join(rng.choice(LEXICON, size=n_words))
+    durations = rng.integers(frames_per_char[0], frames_per_char[1] + 1,
+                             size=len(text))
+    return text, durations
+
+
 def generate(out_dir: str, n_train: int = 2000, n_dev: int = 200,
              n_test: int = 200, words_min: int = 3, words_max: int = 10,
              frames_per_char: tuple = (4, 9), noise: float = 0.3,
@@ -50,13 +68,10 @@ def generate(out_dir: str, n_train: int = 2000, n_dev: int = 200,
         os.makedirs(mfcc_dir, exist_ok=True)
         os.makedirs(raw_dir, exist_ok=True)
         for i in range(count):
-            n_words = int(rng.integers(words_min, words_max + 1))
-            text = " ".join(rng.choice(LEXICON, size=n_words))
-            frames = []
-            for ch in text:
-                dur = int(rng.integers(frames_per_char[0], frames_per_char[1] + 1))
-                seg = prototypes[ord(ch) % 128][None, :].repeat(dur, axis=0)
-                frames.append(seg)
+            text, durations = sample_utterance(rng, words_min, words_max,
+                                               frames_per_char)
+            frames = [prototypes[ord(ch) % 128][None, :].repeat(dur, axis=0)
+                      for ch, dur in zip(text, durations)]
             feats = np.concatenate(frames, axis=0)
             feats = feats + rng.normal(size=feats.shape).astype(np.float32) * noise
             np.save(os.path.join(mfcc_dir, f"utt{i:05d}.npy"),
