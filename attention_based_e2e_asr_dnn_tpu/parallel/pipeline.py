@@ -22,6 +22,16 @@ microbatch.
 Gradients never cross stages (each stage owns disjoint parameters), so the
 optimizer update runs per-stage on the stage's own device; only the
 (B_mb, T/8, 2H) encoder activations and their cotangents cross the wire.
+
+PP x DP composition (``dp > 1``): each stage owns a dp-device 1-D mesh
+instead of a single device. Microbatches shard over the stage mesh's
+'data' axis, stage params/optimizer state replicate within the stage
+group, and jit compiles each stage program SPMD over its mesh — GSPMD
+derives the within-stage gradient all-reduce from the annotations exactly
+like plain DP (parallel/mesh.py). The pipeline loop itself is unchanged:
+`jax.device_put` between the two stage meshes is the cross-stage transfer
+(device-to-device resharding), and the cross-stage global norm is still
+two replicated scalars.
 """
 
 from __future__ import annotations
@@ -71,18 +81,52 @@ class PipelineState(NamedTuple):
         return {"listener": self.opt_listener, "speller": self.opt_speller}
 
 
-def place_pipeline_state(state: PipelineState, devices: Sequence) -> PipelineState:
-    """Pin stage 0 (listener) to devices[0], stage 1 (speller) to devices[1]."""
-    d0, d1 = devices[0], devices[1]
+def _stage_placements(devices: Sequence, dp: int):
+    """Per-stage ``(batch_target, replicated_target)`` device_put targets.
+
+    ``dp == 1``: plain device pinning — stage 0 on devices[0], stage 1 on
+    devices[1] (both targets are the device itself).
+    ``dp > 1``: stage 0 owns a 1-D mesh over devices[:dp], stage 1 over
+    devices[dp:2*dp]; batch tensors shard over the mesh's 'data' axis and
+    everything else (params, optimizer state, rngs, scalars) replicates
+    within the stage group. ``jax.device_put`` accepts either form, so the
+    pipeline step body is placement-agnostic.
+    """
+    if dp <= 1:
+        d0, d1 = devices[0], devices[1]
+        return (d0, d0), (d1, d1)
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    if len(devices) < 2 * dp:
+        raise ValueError(
+            f"pipeline x data parallelism needs 2*dp = {2 * dp} devices, "
+            f"got {len(devices)}")
+    m0 = Mesh(np.asarray(devices[:dp]), ("data",))
+    m1 = Mesh(np.asarray(devices[dp:2 * dp]), ("data",))
+    return (
+        (NamedSharding(m0, PartitionSpec("data")),
+         NamedSharding(m0, PartitionSpec())),
+        (NamedSharding(m1, PartitionSpec("data")),
+         NamedSharding(m1, PartitionSpec())),
+    )
+
+
+def place_pipeline_state(state: PipelineState, devices: Sequence,
+                         dp: int = 1) -> PipelineState:
+    """Pin stage 0 (listener) to its stage device (group), stage 1
+    (speller) to the other; with ``dp > 1`` state replicates within each
+    stage's dp-device mesh (see ``_stage_placements``)."""
+    (_, r0), (_, r1) = _stage_placements(devices, dp)
     return PipelineState(
-        params_listener=jax.device_put(state.params_listener, d0),
-        params_speller=jax.device_put(state.params_speller, d1),
-        opt_listener=jax.device_put(state.opt_listener, d0),
-        opt_speller=jax.device_put(state.opt_speller, d1),
-        rng=jax.device_put(state.rng, d0),
-        acc_listener=(jax.device_put(state.acc_listener, d0)
+        params_listener=jax.device_put(state.params_listener, r0),
+        params_speller=jax.device_put(state.params_speller, r1),
+        opt_listener=jax.device_put(state.opt_listener, r0),
+        opt_speller=jax.device_put(state.opt_speller, r1),
+        rng=jax.device_put(state.rng, r0),
+        acc_listener=(jax.device_put(state.acc_listener, r0)
                       if state.acc_listener is not None else None),
-        acc_speller=(jax.device_put(state.acc_speller, d1)
+        acc_speller=(jax.device_put(state.acc_speller, r1)
                      if state.acc_speller is not None else None),
         acc_count=state.acc_count,
     )
@@ -101,6 +145,7 @@ def make_pipeline_train_step(
     specaug_time: int = 200,
     specaug_iid: bool = False,
     nan_guard: bool = True,
+    dp: int = 1,
 ) -> Callable:
     """Build a 2-stage pipelined train step.
 
@@ -128,10 +173,19 @@ def make_pipeline_train_step(
     ACCUMULATED gradient at the window boundary, exactly matching the
     single-device ``optax.MultiSteps`` semantics (clip-after-accumulate).
     Build ``tx`` WITHOUT MultiSteps — accumulation lives here.
+
+    ``dp > 1`` data-parallelizes each stage over a dp-device stage mesh
+    (devices[:dp] | devices[dp:2*dp]): microbatches shard over the stage's
+    'data' axis, stage state replicates within the group, and GSPMD derives
+    the within-stage gradient all-reduce. Loss/clip/guard semantics are
+    bitwise those of the dp=1 pipeline (the reduction tree over a sharded
+    batch is XLA's, so float association may differ at epsilon scale).
+    Every microbatch must be divisible by dp.
     """
     if devices is None:
-        devices = jax.devices()[:2]
-    d0, d1 = devices[0], devices[1]
+        devices = jax.devices()[:2 * max(dp, 1)]
+    (b0, r0), (b1, r1) = _stage_placements(devices, dp)
+    d0, d1 = r0, r1  # replicated-in-stage targets (the device itself at dp=1)
 
     if use_specaug:
         from attention_based_e2e_asr_dnn_tpu.data.specaug import specaugment
@@ -206,19 +260,23 @@ def make_pipeline_train_step(
             raise ValueError(
                 f"batch {batch} not divisible by {n_microbatches} microbatches")
         mb = batch // n_microbatches
+        if mb % max(dp, 1):
+            raise ValueError(
+                f"microbatch {mb} not divisible by dp={dp} (stage-mesh "
+                "batch sharding needs equal shards)")
         rng, aug_rng, *mb_rngs = jax.random.split(
             state.rng, 2 * n_microbatches + 2)
         if use_specaug:
             x = _augment(jax.device_put(aug_rng, d0),
-                         jax.device_put(jnp.asarray(x), d0))
+                         jax.device_put(jnp.asarray(x), b0))
 
         # ---- fill the pipe: dispatch every microbatch's stage-0 forward ----
         encs = []
         xs, lxs = [], []
         for i in range(n_microbatches):
             sl = slice(i * mb, (i + 1) * mb)
-            xi = jax.device_put(x[sl], d0)
-            lxi = jax.device_put(lx[sl], d0)
+            xi = jax.device_put(x[sl], b0)
+            lxi = jax.device_put(lx[sl], b0)
             xs.append(xi)
             lxs.append(lxi)
             encs.append(listener_fwd(state.params_listener, mb_rngs[i], xi, lxi))
@@ -231,10 +289,10 @@ def make_pipeline_train_step(
         for i in range(n_microbatches):
             sl = slice(i * mb, (i + 1) * mb)
             enc_h, enc_l = encs[i]
-            enc_h = jax.device_put(enc_h, d1)
-            enc_l = jax.device_put(enc_l, d1)
-            yi = jax.device_put(y[sl], d1)
-            lyi = jax.device_put(ly[sl], d1)
+            enc_h = jax.device_put(enc_h, b1)
+            enc_l = jax.device_put(enc_l, b1)
+            yi = jax.device_put(y[sl], b1)
+            lyi = jax.device_put(ly[sl], b1)
             ls, nt, g_sp, d_enc = speller_grad(
                 state.params_speller,
                 jax.device_put(mb_rngs[n_microbatches + i], d1),
@@ -242,7 +300,7 @@ def make_pipeline_train_step(
             # stage-0 backward for microbatch i overlaps stage-1 forward of
             # microbatch i+1 (async dispatch, separate device queues)
             g_ls = listener_bwd(state.params_listener, mb_rngs[i], xs[i],
-                                lxs[i], jax.device_put(d_enc, d0))
+                                lxs[i], jax.device_put(d_enc, b0))
             loss_sum = loss_sum + jax.device_put(ls, d0).astype(jnp.float32)
             tok_sum = tok_sum + jax.device_put(nt, d0).astype(jnp.float32)
             g_sp_acc = g_sp if g_sp_acc is None else tree_add(g_sp_acc, g_sp)
@@ -320,10 +378,11 @@ def make_pipeline_train_step(
 
 
 def init_pipeline_state(params: dict, tx, rng: jax.Array,
-                        devices: Optional[Sequence] = None) -> PipelineState:
+                        devices: Optional[Sequence] = None,
+                        dp: int = 1) -> PipelineState:
     """Split a las_init params tree into pinned per-stage state."""
     if devices is None:
-        devices = jax.devices()[:2]
+        devices = jax.devices()[:2 * max(dp, 1)]
     state = PipelineState(
         params_listener=params["listener"],
         params_speller=params["speller"],
@@ -331,4 +390,4 @@ def init_pipeline_state(params: dict, tx, rng: jax.Array,
         opt_speller=tx.init(params["speller"]),
         rng=rng,
     )
-    return place_pipeline_state(state, devices)
+    return place_pipeline_state(state, devices, dp=dp)

@@ -221,14 +221,21 @@ def main(args):
                   "attention)")
         elif pipeline_mb > 0:
             # 2-stage listener|speller pipeline, `pipeline` microbatches
-            # (parallel/pipeline.py); mutually exclusive with mesh sharding
+            # (parallel/pipeline.py). Composes with DP: `data: N` gives each
+            # stage an N-device mesh (microbatches shard within the stage,
+            # GSPMD derives the in-stage gradient all-reduce). TP remains
+            # mutually exclusive.
             if model_par > 1:
                 raise ValueError(
                     "parallel: pipeline and model (tensor) parallelism are "
                     "mutually exclusive in this release")
-            pipeline = {"cfg": las_cfg, "n_microbatches": pipeline_mb}
-            print(f"[parallel] 2-stage pipeline, {pipeline_mb} microbatches "
-                  f"over devices {[str(d) for d in jax.devices()[:2]]}")
+            pp_dp = int(getattr(par, "data", 1) or 1)
+            pipeline = {"cfg": las_cfg, "n_microbatches": pipeline_mb,
+                        "data": pp_dp}
+            n_dev = 2 * max(pp_dp, 1)
+            print(f"[parallel] 2-stage pipeline, {pipeline_mb} microbatches"
+                  + (f" x dp={pp_dp}" if pp_dp > 1 else "")
+                  + f" over devices {[str(d) for d in jax.devices()[:n_dev]]}")
         elif model_par > 1:
             mesh = make_mesh_2d(getattr(par, "data", None), model_par)
             shard_state = lambda s: shard_train_state(s, mesh)

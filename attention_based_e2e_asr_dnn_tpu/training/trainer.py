@@ -164,7 +164,8 @@ class Trainer:
                     "pipeline parallelism expects a listener|speller model, "
                     f"got param groups {sorted(params)}")
             self.state = init_pipeline_state(
-                params, self.tx, rng, devices=pipeline.get("devices"))
+                params, self.tx, rng, devices=pipeline.get("devices"),
+                dp=int(pipeline.get("data", 1)))
         else:
             self.state = self.shard_state(
                 create_train_state(params, self.tx, rng))
@@ -210,6 +211,7 @@ class Trainer:
                 specaug_freq=int(getattr(self.trncfgs, "specaug_freq", 6)),
                 specaug_time=int(getattr(self.trncfgs, "specaug_time", 200)),
                 specaug_iid=bool(getattr(self.trncfgs, "specaug_iid", False)),
+                dp=int(self.pipeline_cfg.get("data", 1)),
             )
 
             def train_step(state, x, lx, y, ly, tf_rate, lr,
@@ -542,15 +544,16 @@ class Trainer:
                 place_pipeline_state,
             )
 
+            dp = int(self.pipeline_cfg.get("data", 1))
             devices = (self.pipeline_cfg.get("devices")
-                       or jax.devices()[:2])
+                       or jax.devices()[:2 * max(dp, 1)])
             self.state = place_pipeline_state(PipelineState(
                 params_listener=params["listener"],
                 params_speller=params["speller"],
                 opt_listener=opt_state["listener"],
                 opt_speller=opt_state["speller"],
                 rng=self.state.rng,
-            ), devices)
+            ), devices, dp=dp)
         else:
             self.state = self.shard_state(TrainState(
                 params=params, opt_state=opt_state, rng=self.state.rng,

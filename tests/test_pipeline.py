@@ -154,10 +154,11 @@ def test_pipeline_stages_live_on_their_devices():
     assert jax.tree.leaves(state.params_speller)[0].devices() == {d[1]}
 
 
-def test_train_cli_with_pipeline_parallelism(tmp_path):
-    """`parallel: {use: true, pipeline: 2}` drives the full train entry
-    through the pipelined Trainer: same loss trajectory as the plain run
-    (randomness quiesced) + checkpoints written."""
+@pytest.mark.parametrize("pp_dp", [1, 2])
+def test_train_cli_with_pipeline_parallelism(tmp_path, pp_dp):
+    """`parallel: {use: true, pipeline: 2[, data: 2]}` drives the full train
+    entry through the pipelined Trainer: same loss trajectory as the plain
+    run (randomness quiesced) + checkpoints written."""
     import os
     import yaml
 
@@ -174,7 +175,7 @@ def test_train_cli_with_pipeline_parallelism(tmp_path):
         cfg["epochs"] = 2
         cfg["tf_rate"] = 1.0
         if mode == "pipeline":
-            cfg["parallel"] = {"use": True, "pipeline": 2}
+            cfg["parallel"] = {"use": True, "pipeline": 2, "data": pp_dp}
         cfg_path = str(tmp_path / f"cfg-{mode}.yml")
         with open(cfg_path, "w") as fh:
             yaml.safe_dump(cfg, fh)
@@ -186,6 +187,60 @@ def test_train_cli_with_pipeline_parallelism(tmp_path):
 
     np.testing.assert_allclose(losses["pipeline"], losses["plain"],
                                rtol=2e-3)
+
+
+def test_pipeline_dp_matches_single_device():
+    """PP x DP composition: dp=2 stage meshes over 4 devices reproduce the
+    single-device step exactly (quiesced randomness) — microbatches shard
+    over each stage's 'data' axis, GSPMD derives the in-stage all-reduce."""
+    assert len(jax.devices()) >= 4, "conftest forces an 8-device CPU mesh"
+    cfg = _cfg()
+    params = las_init(jax.random.key(0), cfg)
+    x, lx, y, ly = _batch()
+
+    def apply_fn(p, rng, x_, lx_, dec_y=None, tf_rate=1.0, init_force=False,
+                 train=False):
+        return las_apply(p, cfg, rng, x_, lx_, dec_y, tf_rate, init_force,
+                         train)
+
+    tx_ref = build_optimizer("adamw", {"lr": 1e-3}, grad_norm=5.0)
+    ref_state = create_train_state(params, tx_ref, jax.random.key(1))
+    ref_step = make_train_step(apply_fn, tx_ref, use_specaug=False,
+                               donate=False)
+    ref_state, ref_metrics, _ = ref_step(
+        ref_state, x, lx, y, ly, jnp.asarray(1.0), jnp.asarray(1e-3))
+
+    d = jax.devices()[:4]
+    tx_pipe = build_optimizer("adamw", {"lr": 1e-3}, grad_norm=1e9)
+    pipe_state = init_pipeline_state(params, tx_pipe, jax.random.key(1),
+                                     devices=d, dp=2)
+    pipe_step = make_pipeline_train_step(cfg, tx_pipe, devices=d,
+                                         n_microbatches=2, grad_norm=5.0,
+                                         dp=2)
+    pipe_state, pipe_metrics = pipe_step(
+        pipe_state, x, lx, y, ly, jnp.asarray(1.0), jnp.asarray(1e-3))
+
+    np.testing.assert_allclose(float(pipe_metrics["loss"]),
+                               float(ref_metrics["loss"]), atol=1e-5)
+    f_ref, _ = jax.flatten_util.ravel_pytree(
+        {"listener": ref_state.params["listener"],
+         "speller": ref_state.params["speller"]})
+    f_pipe, _ = jax.flatten_util.ravel_pytree(
+        {"listener": jax.device_get(pipe_state.params_listener),
+         "speller": jax.device_get(pipe_state.params_speller)})
+    np.testing.assert_allclose(np.asarray(f_pipe), np.asarray(f_ref),
+                               atol=2e-5)
+
+    # stage state actually lives replicated on each stage's dp-device group
+    ls_dev = jax.tree.leaves(pipe_state.params_listener)[0].devices()
+    sp_dev = jax.tree.leaves(pipe_state.params_speller)[0].devices()
+    assert ls_dev == set(d[:2]), f"listener on {ls_dev}, want {set(d[:2])}"
+    assert sp_dev == set(d[2:4]), f"speller on {sp_dev}, want {set(d[2:4])}"
+
+    # indivisible microbatch fails loudly
+    with pytest.raises(ValueError, match="divisible by dp"):
+        pipe_step(pipe_state, x[:6], lx[:6], y[:6], ly[:6],
+                  jnp.asarray(1.0), jnp.asarray(1e-3))
 
 
 def test_pipeline_nan_guard_is_true_noop():
