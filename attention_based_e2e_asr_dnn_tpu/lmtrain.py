@@ -113,6 +113,44 @@ def main(args):
     compute_dtype = (jnp.bfloat16 if getattr(trncfgs, "compute_dtype", "float32")
                      == "bfloat16" else jnp.float32)
 
+    # optional data / data x model parallelism over a device mesh — the same
+    # `parallel:` configs as the LAS entry (train.py). The TP placement
+    # pattern-matches the Rewriter's param names too (w_ih/w_hh gate
+    # matrices, the 3-way-shared char_emb), so tensor parallelism carries
+    # over unchanged. Sequence/pipeline parallelism are LAS-only (the
+    # Rewriter has no listener|speller split and its encoder is not
+    # time-shardable through a config hook); rejected with clear errors.
+    shard_batch = None
+    shard_state = None
+    par = getattr(trncfgs, "parallel", None)
+    if par is not None and par.use:
+        from attention_based_e2e_asr_dnn_tpu.parallel.mesh import (
+            make_mesh,
+            make_mesh_2d,
+            shard_batch_fn,
+            shard_train_state,
+        )
+
+        if int(getattr(par, "pipeline", 0) or 0) > 0:
+            raise ValueError(
+                "parallel: pipeline is LAS-only (the Rewriter has no "
+                "listener|speller stage split)")
+        if int(getattr(par, "sequence", 0) or 0) > 1:
+            raise ValueError(
+                "parallel: sequence is LAS-only (no encoder-output "
+                "sharding hook on the Rewriter)")
+        model_par = int(getattr(par, "model", 1) or 1)
+        if model_par > 1:
+            mesh = make_mesh_2d(getattr(par, "data", None), model_par)
+            shard_state = lambda s: shard_train_state(s, mesh)
+            print(f"[parallel] 2-D mesh: data={mesh.shape['data']} x "
+                  f"model={mesh.shape['model']}")
+        else:
+            mesh = make_mesh(getattr(par, "data", None)
+                             or getattr(par, "n_devices", None))
+            print(f"[parallel] data-parallel mesh over {mesh.size} devices")
+        shard_batch = shard_batch_fn(mesh)
+
     trainer = Trainer(
         init_fn=lambda rng: rewriter_init(rng, lm_cfg),
         make_apply=make_rewriter_apply_factory(lm_cfg,
@@ -125,6 +163,8 @@ def main(args):
         eos_idx=constants.EOS_IDX,
         compute_dtype=compute_dtype,
         logger=logger,
+        shard_batch=shard_batch,
+        shard_state=shard_state,
     )
     trainer.train_eval(int(trncfgs.epochs))
     dump_log_json(os.path.join(tgt_folder, "log.json"),

@@ -66,6 +66,37 @@ def make_mesh_2d(
     return Mesh(grid, axis_names)
 
 
+def make_mesh_3d(
+    data: Optional[int] = None,
+    seq: int = 1,
+    model: int = 1,
+    axis_names: Tuple[str, str, str] = ("data", "seq", "model"),
+) -> Mesh:
+    """3-D ``(data, seq, model)`` mesh: batch sharding on 'data',
+    sequence-parallel attention on 'seq', tensor parallelism on 'model'.
+
+    ``data=None`` uses all devices divided by ``seq*model``. The model axis
+    is laid innermost (fastest ICI links for its per-step collectives),
+    seq next, data outermost.
+    """
+    devices = jax.devices()
+    if seq < 1 or model < 1:
+        raise ValueError(f"seq/model degrees must be >= 1, got {seq}/{model}")
+    inner = seq * model
+    if data is None:
+        if len(devices) % inner != 0:
+            raise ValueError(
+                f"{len(devices)} devices not divisible by seq*model={inner}")
+        data = len(devices) // inner
+    need = data * inner
+    if need > len(devices):
+        raise ValueError(
+            f"requested data={data} x seq={seq} x model={model} = {need} "
+            f"devices but only {len(devices)} present")
+    grid = np.array(devices[:need]).reshape(data, seq, model)
+    return Mesh(grid, axis_names)
+
+
 def model_parallel_placement(mesh: Mesh, model_axis: str = "model"):
     """Returns place(path, leaf) for tensor parallelism over ``model_axis``:
 

@@ -193,11 +193,15 @@ def main(args):
             # output is the whole integration — GSPMD partitions the
             # attention einsums + softmax (psum/pmax collectives) from the
             # annotation (parallel/sequence.py holds the explicit shard_map
-            # twin, equivalence-tested). Composes with DP on 'data'.
-            if pipeline_mb > 0 or model_par > 1:
+            # twin, equivalence-tested). Composes with DP on 'data' and,
+            # with `model: M`, with tensor parallelism on a 3-D
+            # (data, seq, model) mesh — the TP placement is orthogonal
+            # (P(None, 'model') replicates over data/seq) and GSPMD derives
+            # the combined collectives. Pipeline remains exclusive.
+            if pipeline_mb > 0:
                 raise ValueError(
-                    "parallel: sequence composes with data only in this "
-                    "release (not with model/pipeline)")
+                    "parallel: sequence and pipeline are mutually exclusive "
+                    "in this release")
             if getattr(las_cfg.speller, "decoder_impl", "scan") == "pallas":
                 raise ValueError(
                     "parallel: sequence requires decoder_impl: scan (the "
@@ -205,9 +209,27 @@ def main(args):
                     "time-sharded)")
             from jax.sharding import NamedSharding, PartitionSpec as SP_P
 
-            seq_mesh = make_mesh_2d(getattr(par, "data", None), seq_par,
-                                    axis_names=("data", "seq"))
-            enc_sharding = NamedSharding(seq_mesh, SP_P("data", "seq", None))
+            if model_par > 1:
+                from attention_based_e2e_asr_dnn_tpu.parallel.mesh import (
+                    make_mesh_3d,
+                )
+
+                seq_mesh = make_mesh_3d(getattr(par, "data", None), seq_par,
+                                        model_par)
+                shard_state = lambda s: shard_train_state(s, seq_mesh)
+                enc_sharding = NamedSharding(
+                    seq_mesh, SP_P("data", "seq", None))
+                print(f"[parallel] 3-D mesh: data={seq_mesh.shape['data']} x "
+                      f"seq={seq_par} x model={model_par} (sequence-parallel "
+                      "attention + tensor parallelism)")
+            else:
+                seq_mesh = make_mesh_2d(getattr(par, "data", None), seq_par,
+                                        axis_names=("data", "seq"))
+                enc_sharding = NamedSharding(
+                    seq_mesh, SP_P("data", "seq", None))
+                print(f"[parallel] 2-D mesh: data={seq_mesh.shape['data']} x "
+                      f"seq={seq_mesh.shape['seq']} (sequence-parallel "
+                      "attention)")
 
             def seq_hook(enc_h):
                 return jax.lax.with_sharding_constraint(enc_h, enc_sharding)
@@ -216,9 +238,6 @@ def main(args):
                 las_cfg, unroll=int(getattr(trncfgs, "scan_unroll", 8)),
                 enc_hook=seq_hook)
             shard_batch = shard_batch_fn(seq_mesh)
-            print(f"[parallel] 2-D mesh: data={seq_mesh.shape['data']} x "
-                  f"seq={seq_mesh.shape['seq']} (sequence-parallel "
-                  "attention)")
         elif pipeline_mb > 0:
             # 2-stage listener|speller pipeline, `pipeline` microbatches
             # (parallel/pipeline.py). Composes with DP: `data: N` gives each

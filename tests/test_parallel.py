@@ -258,12 +258,18 @@ def test_tp_placement_reduces_per_device_bytes():
     assert per_device < 0.8 * total, (per_device, total)
 
 
-def test_train_cli_with_sequence_parallelism(tmp_path):
-    """`parallel: {use: true, sequence: 2, data: 4}` through the train CLI:
+@pytest.mark.parametrize("par_cfg", [
+    {"use": True, "sequence": 2, "data": 4},
+    {"use": True, "sequence": 2, "data": 2, "model": 2},
+])
+def test_train_cli_with_sequence_parallelism(tmp_path, par_cfg):
+    """`parallel: {use: true, sequence: 2, ...}` through the train CLI:
     the encoder-output sharding constraint makes GSPMD time-shard the
     attention K/V; loss trajectory matches the plain run (the partitioned
-    softmax is mathematically identical). (VERDICT r2 weak #4: SP is now
-    config-reachable.)"""
+    softmax is mathematically identical). The second variant composes SP
+    with tensor parallelism on a 3-D (data, seq, model) mesh — the TP
+    placement is orthogonal and GSPMD derives the combined collectives.
+    (VERDICT r2 weak #4: SP is now config-reachable.)"""
     import os
     import yaml
 
@@ -281,7 +287,7 @@ def test_train_cli_with_sequence_parallelism(tmp_path):
         cfg["batch_size"] = 8
         cfg["tf_rate"] = 1.0
         if mode == "seq":
-            cfg["parallel"] = {"use": True, "sequence": 2, "data": 4}
+            cfg["parallel"] = dict(par_cfg)
         cfg_path = str(tmp_path / f"cfg-{mode}.yml")
         with open(cfg_path, "w") as fh:
             yaml.safe_dump(cfg, fh)
@@ -308,3 +314,93 @@ def test_sequence_parallel_rejects_fused_decoder(tmp_path):
         yaml.safe_dump(cfg, fh)
     with pytest.raises(ValueError, match="decoder_impl"):
         train_mod.main(train_mod.build_argparser().parse_args(["-c", cfg_path]))
+
+
+def _lm_config(root, words, exp_dir, tmp_path, n=8):
+    """Minimal lmtrain config over fabricated (prediction, gold) pairs."""
+    import os
+
+    trn_trans = os.path.join(root, "train-clean-100", "transcript", "raw")
+    dev_trans = os.path.join(root, "dev-clean", "transcript", "raw")
+    preds = [(words[i % len(words)][:-1] + "Q") for i in range(n)]
+    trn_pred = str(tmp_path / "trn_pred.txt")
+    dev_pred = str(tmp_path / "dev_pred.txt")
+    for p in (trn_pred, dev_pred):
+        with open(p, "w") as fh:
+            fh.write("\n".join(preds) + "\n")
+    return {
+        "TRN_FOLDER": trn_trans, "DEV_FOLDER": dev_trans,
+        "EXP_FOLDER": exp_dir,
+        "TRN_PRED_DIR": trn_pred, "DEV_PRED_DIR": dev_pred,
+        "seed": 3, "epochs": 2, "batch_size": 4, "accu_grad": 1,
+        "grad_norm": 5.0, "eval_ld_interval": 1, "tf_rate": 1.0,
+        "max_savings": 2, "init_force": False,
+        "compute_dtype": "float32", "pad_label_multiple": 8,
+        "wandb": {"use": False},
+        "finetune": {"use": False, "reinit_lr": False, "checkpoint": None},
+        "model": {"tag": "lm-par", "configs": {
+            "emb_dim": 16, "enc_lstm_layers": 1, "enc_lstm_hid_dim": 8,
+            "enc_dropouts": [0.0], "att_proj_dim": 8, "att_heads": 1,
+            "att_dropout": 0.0, "dec_lstm_layers": 2,
+            "dec_lstm_hid_dim": 16, "dec_lstm_out_dim": 8,
+            "dec_lstm_dropout": 0.0, "CHR_MAX_STEPS": 16}},
+        "optimizer": {"name": "adamw", "configs": {"lr": 0.003}},
+        "batch_scheduler": {"use": False, "configs": {}},
+        "epoch_scheduler": {"use": False},
+        "tf_rate_scheduler": {"use": False, "configs": {}},
+        "dropout_scheduler": {"use": False, "configs": {}},
+    }
+
+
+@pytest.mark.parametrize("par_cfg", [
+    {"use": True, "data": 2},
+    {"use": True, "data": 2, "model": 2},
+])
+def test_lmtrain_cli_with_parallelism(tmp_path, par_cfg):
+    """The LM entry honors the same `parallel:` configs as the LAS entry:
+    DP and DP x TP Rewriter training match the plain loss trajectory (the
+    TP placement pattern-matches the Rewriter's w_ih/w_hh/char_emb too)."""
+    import os
+    import yaml
+
+    from tests.test_e2e_pipeline import _make_dataset
+    from attention_based_e2e_asr_dnn_tpu import lmtrain as lmtrain_mod
+
+    root = str(tmp_path / "data")
+    words = _make_dataset(root, n=8)
+
+    losses = {}
+    for mode in ("plain", "par"):
+        exp_dir = str(tmp_path / f"exp-{mode}")
+        cfg = _lm_config(root, words, exp_dir, tmp_path)
+        if mode == "par":
+            cfg["parallel"] = dict(par_cfg)
+        cfg_path = str(tmp_path / f"lm-{mode}.yml")
+        with open(cfg_path, "w") as fh:
+            yaml.safe_dump(cfg, fh)
+        trainer = lmtrain_mod.main(
+            lmtrain_mod.build_argparser().parse_args(["-c", cfg_path]))
+        losses[mode] = trainer.train_history["loss"]
+        assert all(np.isfinite(v) for v in losses[mode])
+
+    np.testing.assert_allclose(losses["par"], losses["plain"], rtol=2e-3)
+
+
+def test_lmtrain_rejects_las_only_parallel_modes(tmp_path):
+    import yaml
+
+    from tests.test_e2e_pipeline import _make_dataset
+    from attention_based_e2e_asr_dnn_tpu import lmtrain as lmtrain_mod
+
+    root = str(tmp_path / "data")
+    words = _make_dataset(root, n=4)
+    for key, match in (("pipeline", "LAS-only"), ("sequence", "LAS-only")):
+        cfg = _lm_config(root, words, str(tmp_path / f"exp-{key}"), tmp_path,
+                         n=4)
+        cfg["parallel"] = {"use": True, key: 2}
+        cfg_path = str(tmp_path / f"lm-{key}.yml")
+        with open(cfg_path, "w") as fh:
+            yaml.safe_dump(cfg, fh)
+        with pytest.raises(ValueError, match=match):
+            lmtrain_mod.main(
+                lmtrain_mod.build_argparser().parse_args(["-c", cfg_path]))

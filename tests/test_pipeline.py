@@ -243,6 +243,54 @@ def test_pipeline_dp_matches_single_device():
                   jnp.asarray(1.0), jnp.asarray(1e-3))
 
 
+def test_train_cli_pipeline_dp_resume(tmp_path):
+    """A pipeline checkpoint resumes into a PP x DP run: the data-only npz
+    format carries no placement, so a dp=1 pipeline checkpoint loads into
+    dp=2 stage meshes (and training continues with finite losses)."""
+    import os
+    import yaml
+
+    from tests.test_e2e_pipeline import _make_dataset, _train_config
+    from attention_based_e2e_asr_dnn_tpu import train as train_mod
+
+    root = str(tmp_path / "data")
+    _make_dataset(root, n=8)
+
+    # first run: PP at dp=1, 2 epochs, checkpoint written
+    exp_a = str(tmp_path / "exp-a")
+    cfg = _train_config(root, exp_a)
+    cfg["epochs"] = 2
+    cfg["tf_rate"] = 1.0
+    cfg["parallel"] = {"use": True, "pipeline": 2, "data": 1}
+    cfg_path = str(tmp_path / "cfg-a.yml")
+    with open(cfg_path, "w") as fh:
+        yaml.safe_dump(cfg, fh)
+    train_mod.main(train_mod.build_argparser().parse_args(["-c", cfg_path]))
+    run_a = [d for d in os.listdir(exp_a) if d != "milestones"][0]
+    ckpt_dir = os.path.join(exp_a, run_a, "ckpts")
+    ckpt = os.path.join(ckpt_dir, sorted(os.listdir(ckpt_dir))[0])
+
+    # second run: resume that checkpoint into PP x dp=2
+    exp_b = str(tmp_path / "exp-b")
+    cfg = _train_config(root, exp_b)
+    cfg["epochs"] = 3
+    cfg["tf_rate"] = 1.0
+    cfg["parallel"] = {"use": True, "pipeline": 2, "data": 2}
+    cfg["finetune"] = {"use": True, "reinit_lr": False, "checkpoint": ckpt}
+    cfg_path = str(tmp_path / "cfg-b.yml")
+    with open(cfg_path, "w") as fh:
+        yaml.safe_dump(cfg, fh)
+    trainer = train_mod.main(
+        train_mod.build_argparser().parse_args(["-c", cfg_path]))
+
+    assert all(np.isfinite(trainer.train_history["loss"]))
+    # stage params landed on the dp=2 stage groups after resume
+    d = jax.devices()
+    ls_dev = jax.tree.leaves(trainer.state.params_listener)[0].devices()
+    sp_dev = jax.tree.leaves(trainer.state.params_speller)[0].devices()
+    assert ls_dev == set(d[:2]) and sp_dev == set(d[2:4])
+
+
 def test_pipeline_nan_guard_is_true_noop():
     """A non-finite batch must leave BOTH stages' params untouched (the
     single-device step's guard semantics, steps.py:115-131)."""
