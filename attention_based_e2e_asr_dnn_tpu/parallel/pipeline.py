@@ -81,52 +81,78 @@ class PipelineState(NamedTuple):
         return {"listener": self.opt_listener, "speller": self.opt_speller}
 
 
-def _stage_placements(devices: Sequence, dp: int):
-    """Per-stage ``(batch_target, replicated_target)`` device_put targets.
+def _stage_placements(devices: Sequence, dp: int, tp: int = 1):
+    """Per-stage ``(batch_target, replicated_target[, param_placer])``
+    device_put targets.
 
-    ``dp == 1``: plain device pinning — stage 0 on devices[0], stage 1 on
-    devices[1] (both targets are the device itself).
-    ``dp > 1``: stage 0 owns a 1-D mesh over devices[:dp], stage 1 over
-    devices[dp:2*dp]; batch tensors shard over the mesh's 'data' axis and
-    everything else (params, optimizer state, rngs, scalars) replicates
-    within the stage group. ``jax.device_put`` accepts either form, so the
+    ``dp == tp == 1``: plain device pinning — stage 0 on devices[0],
+    stage 1 on devices[1] (both targets are the device itself).
+    Otherwise: stage 0 owns a (dp, tp) mesh over devices[:dp*tp], stage 1
+    over the next dp*tp; batch tensors shard over the mesh's 'data' axis,
+    scalars/rngs replicate within the stage group, and — when ``tp > 1`` —
+    params/optimizer state place via ``model_parallel_placement`` (gate
+    matrices, attention projections, char_emb column-parallel on 'model';
+    see parallel/mesh.py). ``jax.device_put`` accepts either form, so the
     pipeline step body is placement-agnostic.
+
+    Returns ``((b0, r0), (b1, r1), (p0, p1))`` where ``p*`` are
+    tree-placement callables for param-shaped pytrees (identity-equivalent
+    to ``r*`` when tp == 1).
     """
-    if dp <= 1:
+    if dp <= 1 and tp <= 1:
         d0, d1 = devices[0], devices[1]
-        return (d0, d0), (d1, d1)
+        place0 = lambda tree: jax.device_put(tree, d0)
+        place1 = lambda tree: jax.device_put(tree, d1)
+        return (d0, d0), (d1, d1), (place0, place1)
     import numpy as np
     from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
-    if len(devices) < 2 * dp:
+    group = dp * tp
+    if len(devices) < 2 * group:
         raise ValueError(
-            f"pipeline x data parallelism needs 2*dp = {2 * dp} devices, "
-            f"got {len(devices)}")
-    m0 = Mesh(np.asarray(devices[:dp]), ("data",))
-    m1 = Mesh(np.asarray(devices[dp:2 * dp]), ("data",))
+            f"pipeline x (dp={dp} x tp={tp}) needs 2*dp*tp = {2 * group} "
+            f"devices, got {len(devices)}")
+    m0 = Mesh(np.asarray(devices[:group]).reshape(dp, tp),
+              ("data", "model"))
+    m1 = Mesh(np.asarray(devices[group:2 * group]).reshape(dp, tp),
+              ("data", "model"))
+
+    def _placer(mesh):
+        if tp <= 1:
+            repl = NamedSharding(mesh, PartitionSpec())
+            return lambda tree: jax.device_put(tree, repl)
+        from attention_based_e2e_asr_dnn_tpu.parallel.mesh import (
+            model_parallel_placement,
+        )
+
+        place = model_parallel_placement(mesh)
+        return lambda tree: jax.tree_util.tree_map_with_path(place, tree)
+
     return (
         (NamedSharding(m0, PartitionSpec("data")),
          NamedSharding(m0, PartitionSpec())),
         (NamedSharding(m1, PartitionSpec("data")),
          NamedSharding(m1, PartitionSpec())),
+        (_placer(m0), _placer(m1)),
     )
 
 
 def place_pipeline_state(state: PipelineState, devices: Sequence,
-                         dp: int = 1) -> PipelineState:
+                         dp: int = 1, tp: int = 1) -> PipelineState:
     """Pin stage 0 (listener) to its stage device (group), stage 1
     (speller) to the other; with ``dp > 1`` state replicates within each
-    stage's dp-device mesh (see ``_stage_placements``)."""
-    (_, r0), (_, r1) = _stage_placements(devices, dp)
+    stage's dp-device mesh, with ``tp > 1`` param-shaped trees place via
+    the TP pattern (see ``_stage_placements``)."""
+    (_, r0), (_, r1), (p0, p1) = _stage_placements(devices, dp, tp)
     return PipelineState(
-        params_listener=jax.device_put(state.params_listener, r0),
-        params_speller=jax.device_put(state.params_speller, r1),
-        opt_listener=jax.device_put(state.opt_listener, r0),
-        opt_speller=jax.device_put(state.opt_speller, r1),
+        params_listener=p0(state.params_listener),
+        params_speller=p1(state.params_speller),
+        opt_listener=p0(state.opt_listener),
+        opt_speller=p1(state.opt_speller),
         rng=jax.device_put(state.rng, r0),
-        acc_listener=(jax.device_put(state.acc_listener, r0)
+        acc_listener=(p0(state.acc_listener)
                       if state.acc_listener is not None else None),
-        acc_speller=(jax.device_put(state.acc_speller, r1)
+        acc_speller=(p1(state.acc_speller)
                      if state.acc_speller is not None else None),
         acc_count=state.acc_count,
     )
@@ -146,6 +172,7 @@ def make_pipeline_train_step(
     specaug_iid: bool = False,
     nan_guard: bool = True,
     dp: int = 1,
+    tp: int = 1,
 ) -> Callable:
     """Build a 2-stage pipelined train step.
 
@@ -181,10 +208,18 @@ def make_pipeline_train_step(
     bitwise those of the dp=1 pipeline (the reduction tree over a sharded
     batch is XLA's, so float association may differ at epsilon scale).
     Every microbatch must be divisible by dp.
+
+    ``tp > 1`` additionally tensor-parallelizes each stage over a
+    (dp, tp) stage mesh: stage params/optimizer state place via the same
+    column-parallel pattern as 2-D mesh training (parallel/mesh.py), grads
+    inherit the placement through the jitted stage programs, and GSPMD
+    derives the TP collectives per stage — the full PP x DP x TP
+    composition. State must be placed with the same (dp, tp)
+    (``init_pipeline_state(..., dp=, tp=)``).
     """
     if devices is None:
-        devices = jax.devices()[:2 * max(dp, 1)]
-    (b0, r0), (b1, r1) = _stage_placements(devices, dp)
+        devices = jax.devices()[:2 * max(dp, 1) * max(tp, 1)]
+    (b0, r0), (b1, r1), _ = _stage_placements(devices, dp, tp)
     d0, d1 = r0, r1  # replicated-in-stage targets (the device itself at dp=1)
 
     if use_specaug:
@@ -379,10 +414,10 @@ def make_pipeline_train_step(
 
 def init_pipeline_state(params: dict, tx, rng: jax.Array,
                         devices: Optional[Sequence] = None,
-                        dp: int = 1) -> PipelineState:
+                        dp: int = 1, tp: int = 1) -> PipelineState:
     """Split a las_init params tree into pinned per-stage state."""
     if devices is None:
-        devices = jax.devices()[:2 * max(dp, 1)]
+        devices = jax.devices()[:2 * max(dp, 1) * max(tp, 1)]
     state = PipelineState(
         params_listener=params["listener"],
         params_speller=params["speller"],
@@ -390,4 +425,4 @@ def init_pipeline_state(params: dict, tx, rng: jax.Array,
         opt_speller=tx.init(params["speller"]),
         rng=rng,
     )
-    return place_pipeline_state(state, devices, dp=dp)
+    return place_pipeline_state(state, devices, dp=dp, tp=tp)

@@ -59,6 +59,136 @@ def _best_checkpoint(ckpt_dir: str) -> str:
     return os.path.join(ckpt_dir, cands[-1])
 
 
+class Corrector:
+    """Gated Rewriter corrector over a trained LM experiment — the serving
+    twin of the lminfer CLI (the reference's auto-correct claim,
+    README.md:51-53, whose own lminfer never ran).
+
+    ``correct(texts)`` rewrites each transcription and keeps a rewrite only
+    when the model scores it ``confidence_margin`` avg-log-prob/char above
+    regenerating the input (decoding/rescore.py) — never-worse under the
+    model's own likelihood. Fit the margin offline with
+    ``decoding.rescore.fit_margin`` on labeled pairs (lminfer's
+    ``confidence_margin: "auto"``) and pass the number here.
+
+    Args:
+        exp_folder: Rewriter experiment dir (config.json + ckpts/).
+        checkpoint: explicit checkpoint; default = latest best tag.
+        average: uniform-average all best checkpoints instead.
+        beam_size: >1 = beam-search rewrites; 0/1 = early-stop greedy.
+        confidence_margin: gate threshold; ``gate=False`` disables gating
+            (every rewrite is kept — not recommended in production).
+    """
+
+    def __init__(
+        self,
+        exp_folder: str,
+        checkpoint: Optional[str] = None,
+        average: bool = False,
+        beam_size: int = 8,
+        length_alpha: float = 0.0,
+        max_len_factor: float = 3.0,
+        batch_size: int = 32,
+        confidence_margin: float = 0.0,
+        gate: bool = True,
+    ):
+        from attention_based_e2e_asr_dnn_tpu.models.rewriter import (
+            RewriterConfig,
+        )
+        from attention_based_e2e_asr_dnn_tpu.utils.compile_cache import (
+            enable_compilation_cache,
+        )
+
+        enable_compilation_cache()
+        snap = load_config(os.path.join(exp_folder, "config.json"))
+        self.lm_cfg = RewriterConfig(**snap.model.configs)
+        self.batch_size = batch_size
+        self.margin = float(confidence_margin)
+
+        ckpt_dir = os.path.join(exp_folder, "ckpts")
+        if average:
+            paths = sorted(
+                os.path.join(ckpt_dir, f) for f in os.listdir(ckpt_dir)
+                if f.endswith(".ckpt") and f.startswith("min"))
+            payload = average_checkpoints(paths)
+        else:
+            payload = load_checkpoint(checkpoint or _best_checkpoint(ckpt_dir))
+        self.params = jax.tree.map(jnp.asarray, payload["params"])
+
+        if beam_size > 1:
+            from attention_based_e2e_asr_dnn_tpu.decoding.beam import (
+                make_rewriter_beam_step,
+            )
+
+            self._step = make_rewriter_beam_step(
+                self.lm_cfg, beam_size=beam_size, length_alpha=length_alpha,
+                max_len_factor=max_len_factor)
+        else:
+            from attention_based_e2e_asr_dnn_tpu.decoding.greedy import (
+                make_rewriter_greedy_step,
+            )
+
+            self._step = make_rewriter_greedy_step(
+                self.lm_cfg, max_len_factor=max_len_factor)
+
+        self._scorer = None
+        if gate:
+            from attention_based_e2e_asr_dnn_tpu.decoding.rescore import (
+                make_rewriter_scorer,
+            )
+
+            self._scorer = make_rewriter_scorer(self.lm_cfg)
+
+    def correct(self, texts: Sequence[str]) -> List[str]:
+        """Rewrite transcriptions; gated rewrites fall back to the input.
+        Characters outside the vocabulary are dropped before encoding (LAS
+        output is always in-vocab; foreign input is handled defensively)."""
+        from attention_based_e2e_asr_dnn_tpu import constants
+        from attention_based_e2e_asr_dnn_tpu.data.batching import (
+            BucketBatcher,
+        )
+        from attention_based_e2e_asr_dnn_tpu.decoding.rescore import (
+            gate_corrections,
+        )
+
+        vm, sos, eos = constants.VOCAB_MAP, constants.SOS_IDX, constants.EOS_IDX
+
+        class _Ids:
+            def __init__(self, items):
+                self._items = items
+
+            def __len__(self):
+                return len(self._items)
+
+            def __getitem__(self, i):
+                return self._items[i]
+
+        ids = [np.array([sos] + [vm[c] for c in t if c in vm] + [eos],
+                        np.int32) for t in texts]
+        batcher = BucketBatcher(_Ids(ids), self.batch_size,
+                                pad_time_multiple=32, has_labels=False,
+                                label_pad_id=eos)
+        out: List[Optional[str]] = [None] * len(texts)
+        for bt in batcher.epoch(0):
+            lx = bt.lx.astype(np.int32)
+            dec = np.asarray(self._step(self.params, bt.x, lx))
+            if self._scorer is not None:
+                _, s_corr, s_in = gate_corrections(
+                    self._scorer, self.params, bt.x, lx, dec, eos, sos,
+                    margin=0.0)
+            for row, orig in enumerate(bt.indices):
+                if orig < 0:
+                    continue
+                rewrite = ids_to_str(dec[row], constants.VOCAB, sos, eos)
+                if self._scorer is not None:
+                    keep = float(s_corr[row] - s_in[row]) > self.margin
+                    out[orig] = rewrite if keep else texts[orig]
+                else:
+                    out[orig] = rewrite
+        assert all(s is not None for s in out)
+        return out  # type: ignore[return-value]
+
+
 class Transcriber:
     """Persistent speech-to-text server over a trained LAS experiment.
 
@@ -74,6 +204,9 @@ class Transcriber:
             (params replicated, batch dim split — the decode is
             embarrassingly parallel per utterance, so GSPMD partitions it
             with zero collectives). batch_size must divide evenly.
+        corrector: optional ``Corrector`` — every transcribe() result is
+            passed through the gated Rewriter chain before returning (and
+            therefore through ``StreamingTranscriber`` too).
     """
 
     def __init__(
@@ -88,7 +221,9 @@ class Transcriber:
         pad_time_multiple: int = 128,
         auto_warmup: Optional[Sequence[int]] = None,
         data_parallel: int = 1,
+        corrector: Optional["Corrector"] = None,
     ):
+        self.corrector = corrector
         from attention_based_e2e_asr_dnn_tpu.utils.compile_cache import (
             enable_compilation_cache,
         )
@@ -317,6 +452,8 @@ class Transcriber:
                 self._fg_count -= 1
                 self._fg_cv.notify_all()
         assert all(s is not None for s in out)
+        if self.corrector is not None:
+            out = self.corrector.correct(out)  # type: ignore[arg-type]
         return out  # type: ignore[return-value]
 
 

@@ -240,20 +240,20 @@ def main(args):
             shard_batch = shard_batch_fn(seq_mesh)
         elif pipeline_mb > 0:
             # 2-stage listener|speller pipeline, `pipeline` microbatches
-            # (parallel/pipeline.py). Composes with DP: `data: N` gives each
-            # stage an N-device mesh (microbatches shard within the stage,
-            # GSPMD derives the in-stage gradient all-reduce). TP remains
-            # mutually exclusive.
-            if model_par > 1:
-                raise ValueError(
-                    "parallel: pipeline and model (tensor) parallelism are "
-                    "mutually exclusive in this release")
+            # (parallel/pipeline.py). Composes with DP and TP: `data: D` /
+            # `model: M` give each stage a (D, M) mesh — microbatches shard
+            # within the stage, stage params place column-parallel on
+            # 'model', and GSPMD derives the in-stage collectives
+            # (PP x DP x TP).
             pp_dp = int(getattr(par, "data", 1) or 1)
             pipeline = {"cfg": las_cfg, "n_microbatches": pipeline_mb,
-                        "data": pp_dp}
-            n_dev = 2 * max(pp_dp, 1)
+                        "data": pp_dp, "model": model_par}
+            n_dev = 2 * max(pp_dp, 1) * max(model_par, 1)
+            extra = "".join(
+                [f" x dp={pp_dp}" if pp_dp > 1 else "",
+                 f" x tp={model_par}" if model_par > 1 else ""])
             print(f"[parallel] 2-stage pipeline, {pipeline_mb} microbatches"
-                  + (f" x dp={pp_dp}" if pp_dp > 1 else "")
+                  + extra
                   + f" over devices {[str(d) for d in jax.devices()[:n_dev]]}")
         elif model_par > 1:
             mesh = make_mesh_2d(getattr(par, "data", None), model_par)

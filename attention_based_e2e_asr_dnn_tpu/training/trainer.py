@@ -165,7 +165,8 @@ class Trainer:
                     f"got param groups {sorted(params)}")
             self.state = init_pipeline_state(
                 params, self.tx, rng, devices=pipeline.get("devices"),
-                dp=int(pipeline.get("data", 1)))
+                dp=int(pipeline.get("data", 1)),
+                tp=int(pipeline.get("model", 1)))
         else:
             self.state = self.shard_state(
                 create_train_state(params, self.tx, rng))
@@ -212,6 +213,7 @@ class Trainer:
                 specaug_time=int(getattr(self.trncfgs, "specaug_time", 200)),
                 specaug_iid=bool(getattr(self.trncfgs, "specaug_iid", False)),
                 dp=int(self.pipeline_cfg.get("data", 1)),
+                tp=int(self.pipeline_cfg.get("model", 1)),
             )
 
             def train_step(state, x, lx, y, ly, tf_rate, lr,
@@ -545,15 +547,16 @@ class Trainer:
             )
 
             dp = int(self.pipeline_cfg.get("data", 1))
+            tp = int(self.pipeline_cfg.get("model", 1))
             devices = (self.pipeline_cfg.get("devices")
-                       or jax.devices()[:2 * max(dp, 1)])
+                       or jax.devices()[:2 * max(dp, 1) * max(tp, 1)])
             self.state = place_pipeline_state(PipelineState(
                 params_listener=params["listener"],
                 params_speller=params["speller"],
                 opt_listener=opt_state["listener"],
                 opt_speller=opt_state["speller"],
                 rng=self.state.rng,
-            ), devices, dp=dp)
+            ), devices, dp=dp, tp=tp)
         else:
             self.state = self.shard_state(TrainState(
                 params=params, opt_state=opt_state, rng=self.state.rng,

@@ -538,3 +538,58 @@ def test_streaming_worker_survives_cancelled_future():
     st.close()                                       # no hang
     with pytest.raises(RuntimeError, match="closed"):
         st.submit(np.zeros((3, 15), np.float32))
+
+
+def test_serving_corrector_gate(pipeline_dirs, tmp_path):
+    """Serving-side Rewriter chain: Corrector gates rewrites by score
+    margin (an infinite margin is an exact no-op), and a Transcriber built
+    with corrector= pipes its transcriptions through the chain."""
+    from tests.test_parallel import _lm_config
+    from attention_based_e2e_asr_dnn_tpu import lmtrain as lmtrain_mod
+    from attention_based_e2e_asr_dnn_tpu import train as train_mod
+    from attention_based_e2e_asr_dnn_tpu.serving import Corrector, Transcriber
+
+    root, words = pipeline_dirs
+
+    # tiny Rewriter experiment
+    lm_exp = str(tmp_path / "lm_exp")
+    lm_cfg = _lm_config(root, words, lm_exp, tmp_path, n=12)
+    lm_cfg_path = str(tmp_path / "lm.yml")
+    with open(lm_cfg_path, "w") as fh:
+        yaml.safe_dump(lm_cfg, fh)
+    lmtrain_mod.main(
+        lmtrain_mod.build_argparser().parse_args(["-c", lm_cfg_path]))
+    lm_run = [os.path.join(lm_exp, d) for d in sorted(os.listdir(lm_exp))][0]
+
+    texts = [w[:-1] + "Q" for w in words]  # corrupted "predictions"
+
+    # infinite margin blocks every rewrite -> exact identity
+    c_block = Corrector(lm_run, beam_size=2, confidence_margin=1e9,
+                        batch_size=4)
+    assert c_block.correct(texts) == texts
+
+    # -inf margin keeps every rewrite == ungated output
+    c_all = Corrector(lm_run, beam_size=2, confidence_margin=-1e9,
+                      batch_size=4)
+    c_raw = Corrector(lm_run, beam_size=2, gate=False, batch_size=4)
+    kept = c_all.correct(texts)
+    assert kept == c_raw.correct(texts)
+    assert all(isinstance(s, str) for s in kept)
+
+    # Transcriber(corrector=) == corrector.correct(plain transcribe)
+    exp_dir = str(tmp_path / "exp_chain")
+    cfg_path = str(tmp_path / "cfg_chain.yml")
+    with open(cfg_path, "w") as fh:
+        yaml.safe_dump(_train_config(root, exp_dir), fh)
+    train_mod.main(train_mod.build_argparser().parse_args(["-c", cfg_path]))
+    run_dir = [os.path.join(exp_dir, r) for r in os.listdir(exp_dir)
+               if r != "milestones"][0]
+    mfcc_dir = os.path.join(root, "test-clean", "mfcc")
+    feats = [np.load(os.path.join(mfcc_dir, f))
+             for f in sorted(os.listdir(mfcc_dir)) if f.endswith(".npy")][:4]
+
+    plain = Transcriber(run_dir, batch_size=4, pad_time_multiple=16)
+    chained = Transcriber(run_dir, batch_size=4, pad_time_multiple=16,
+                          corrector=c_block)
+    assert chained.transcribe(feats) == c_block.correct(
+        plain.transcribe(feats))

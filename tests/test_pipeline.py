@@ -154,11 +154,12 @@ def test_pipeline_stages_live_on_their_devices():
     assert jax.tree.leaves(state.params_speller)[0].devices() == {d[1]}
 
 
-@pytest.mark.parametrize("pp_dp", [1, 2])
-def test_train_cli_with_pipeline_parallelism(tmp_path, pp_dp):
-    """`parallel: {use: true, pipeline: 2[, data: 2]}` drives the full train
-    entry through the pipelined Trainer: same loss trajectory as the plain
-    run (randomness quiesced) + checkpoints written."""
+@pytest.mark.parametrize("pp_dp,pp_tp", [(1, 1), (2, 1), (1, 2)])
+def test_train_cli_with_pipeline_parallelism(tmp_path, pp_dp, pp_tp):
+    """`parallel: {use: true, pipeline: 2[, data: D][, model: M]}` drives
+    the full train entry through the pipelined Trainer: same loss
+    trajectory as the plain run (randomness quiesced) + checkpoints
+    written."""
     import os
     import yaml
 
@@ -175,7 +176,8 @@ def test_train_cli_with_pipeline_parallelism(tmp_path, pp_dp):
         cfg["epochs"] = 2
         cfg["tf_rate"] = 1.0
         if mode == "pipeline":
-            cfg["parallel"] = {"use": True, "pipeline": 2, "data": pp_dp}
+            cfg["parallel"] = {"use": True, "pipeline": 2, "data": pp_dp,
+                               "model": pp_tp}
         cfg_path = str(tmp_path / f"cfg-{mode}.yml")
         with open(cfg_path, "w") as fh:
             yaml.safe_dump(cfg, fh)
@@ -241,6 +243,68 @@ def test_pipeline_dp_matches_single_device():
     with pytest.raises(ValueError, match="divisible by dp"):
         pipe_step(pipe_state, x[:6], lx[:6], y[:6], ly[:6],
                   jnp.asarray(1.0), jnp.asarray(1e-3))
+
+
+def test_pipeline_dp_tp_matches_single_device():
+    """Full PP x DP x TP composition: (2,2) stage meshes over 8 devices
+    reproduce the single-device step (quiesced randomness) AND the TP
+    placement genuinely shards the gate matrices within each stage."""
+    assert len(jax.devices()) >= 8, "conftest forces an 8-device CPU mesh"
+    cfg = _cfg()
+    params = las_init(jax.random.key(0), cfg)
+    x, lx, y, ly = _batch()
+
+    def apply_fn(p, rng, x_, lx_, dec_y=None, tf_rate=1.0, init_force=False,
+                 train=False):
+        return las_apply(p, cfg, rng, x_, lx_, dec_y, tf_rate, init_force,
+                         train)
+
+    tx_ref = build_optimizer("adamw", {"lr": 1e-3}, grad_norm=5.0)
+    ref_state = create_train_state(params, tx_ref, jax.random.key(1))
+    ref_step = make_train_step(apply_fn, tx_ref, use_specaug=False,
+                               donate=False)
+    ref_state, ref_metrics, _ = ref_step(
+        ref_state, x, lx, y, ly, jnp.asarray(1.0), jnp.asarray(1e-3))
+
+    d = jax.devices()[:8]
+    tx_pipe = build_optimizer("adamw", {"lr": 1e-3}, grad_norm=1e9)
+    pipe_state = init_pipeline_state(params, tx_pipe, jax.random.key(1),
+                                     devices=d, dp=2, tp=2)
+    pipe_step = make_pipeline_train_step(cfg, tx_pipe, devices=d,
+                                         n_microbatches=2, grad_norm=5.0,
+                                         dp=2, tp=2)
+    pipe_state, pipe_metrics = pipe_step(
+        pipe_state, x, lx, y, ly, jnp.asarray(1.0), jnp.asarray(1e-3))
+
+    np.testing.assert_allclose(float(pipe_metrics["loss"]),
+                               float(ref_metrics["loss"]), atol=1e-5)
+    f_ref, _ = jax.flatten_util.ravel_pytree(
+        {"listener": ref_state.params["listener"],
+         "speller": ref_state.params["speller"]})
+    f_pipe, _ = jax.flatten_util.ravel_pytree(
+        {"listener": jax.device_get(pipe_state.params_listener),
+         "speller": jax.device_get(pipe_state.params_speller)})
+    np.testing.assert_allclose(np.asarray(f_pipe), np.asarray(f_ref),
+                               atol=2e-5)
+
+    # each stage occupies its own 4-device group
+    ls_dev = jax.tree.leaves(pipe_state.params_listener)[0].devices()
+    sp_dev = jax.tree.leaves(pipe_state.params_speller)[0].devices()
+    assert ls_dev == set(d[:4]) and sp_dev == set(d[4:8])
+
+    # gate matrices are genuinely column-sharded within the stage: each
+    # addressable shard holds 1/tp of the columns
+    def gate_leaf(tree):
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        for path, leaf in flat:
+            if "'w_hh'" in jax.tree_util.keystr(path):
+                return leaf
+        raise AssertionError("no w_hh leaf")
+
+    g = gate_leaf(pipe_state.params_listener)
+    shard_cols = {s.data.shape[-1] for s in g.addressable_shards}
+    assert shard_cols == {g.shape[-1] // 2}, (
+        f"expected column shards of {g.shape[-1] // 2}, got {shard_cols}")
 
 
 def test_train_cli_pipeline_dp_resume(tmp_path):
