@@ -22,6 +22,10 @@ Layer map (mirrors SURVEY.md §1, rebuilt TPU-first):
                 step (new capability; reference is single-device)
   utils         Levenshtein metrics (C++ native tier + pure fallback),
                 attention-map plotting, metric logging
+  compat        reference-checkpoint interop: torch state_dict <-> our
+                param pytrees (tools/import_reference_ckpt.py CLI)
+  export        deployment export: decode graph -> StableHLO .tlas
+                artifact, model-code-free serving (tools/export_serving.py)
 
 Entry points (same CLI surface as the reference):
 

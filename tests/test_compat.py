@@ -1,0 +1,278 @@
+"""Reference-checkpoint interop (compat.py): layout, parity, round-trip.
+
+Builds reference-NAMED state_dicts by composing torch primitives
+(nn.LSTM / nn.LSTMCell / nn.Linear / nn.Embedding) with the key scheme the
+reference's modules produce (src/models.py:500-527, src/lmtrain.py:98-253)
+— no reference code is imported. Parity tests drive the same weights
+through torch and through our apply fns.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from attention_based_e2e_asr_dnn_tpu import compat
+from attention_based_e2e_asr_dnn_tpu.models.las import (
+    LASConfig,
+    ListenerConfig,
+    SpellerConfig,
+    las_apply,
+    las_init,
+)
+from attention_based_e2e_asr_dnn_tpu.models.rewriter import (
+    RewriterConfig,
+    rewriter_apply,
+    rewriter_init,
+)
+from attention_based_e2e_asr_dnn_tpu.ops.lstm import (
+    locked_lstm_stack_apply,
+    lstm_cell_step,
+)
+
+torch = pytest.importorskip("torch")
+
+# tiny-but-structured dims (dec_emb == 2*att_proj is the tying constraint)
+IDIM, HID, NBASE, NPYR = 6, 8, 2, 2
+PROJ, HEADS, EMB, DEC_HID, DEC_OUT, VOCAB = 8, 2, 16, 12, 10, 30
+ENC_OUT = 2 * HID
+
+LAS_CFG = LASConfig(
+    listener=ListenerConfig(
+        input_dim=IDIM, uniform_hid_dim=HID, lstm_layers=NBASE,
+        plstm_layers=NPYR,
+    ),
+    speller=SpellerConfig(
+        enc_out_dim=ENC_OUT, att_proj_dim=PROJ, att_heads=HEADS,
+        dec_vocab_size=VOCAB, dec_emb_dim=EMB, dec_lstm_hid_dim=DEC_HID,
+        dec_lstm_out_dim=DEC_OUT,
+    ),
+)
+
+
+def _add(sd, prefix, module):
+    for k, v in module.state_dict().items():
+        sd[f"{prefix}.{k}"] = v.clone()
+
+
+def _speller_sd(sd, names, enc_out):
+    torch.manual_seed(1)
+    _add(sd, f"{names['att']}.key_map", torch.nn.Linear(enc_out, PROJ))
+    _add(sd, f"{names['att']}.value_map", torch.nn.Linear(enc_out, PROJ))
+    _add(sd, f"{names['att']}.query_map", torch.nn.Linear(DEC_OUT, PROJ))
+    _add(sd, f"{names['att']}.final_map", torch.nn.Linear(PROJ, PROJ))
+    emb = torch.nn.Embedding(VOCAB, EMB, padding_idx=29)
+    _add(sd, names["emb"].rsplit(".", 1)[0], emb)
+    _add(sd, f"{names['cells']}.0", torch.nn.LSTMCell(EMB + PROJ, DEC_HID))
+    _add(sd, f"{names['cells']}.1", torch.nn.LSTMCell(DEC_HID, DEC_OUT))
+    sd[names["init_query"]] = torch.rand(1, DEC_OUT)
+    cls = torch.nn.Linear(EMB, VOCAB)
+    cls.weight = emb.weight  # reference ties them (src/models.py:287)
+    _add(sd, names["cls"], cls)
+
+
+def make_ref_las_state_dict(seed=0):
+    """state_dict with the exact key scheme ListenAttendSpell produces."""
+    torch.manual_seed(seed)
+    sd = {}
+    in_d = IDIM
+    for i in range(NBASE):
+        _add(sd, f"listen.base.lstms.{i}",
+             torch.nn.LSTM(in_d, HID, batch_first=True, bidirectional=True))
+        in_d = ENC_OUT
+    for i in range(NPYR):
+        _add(sd, f"listen.pyramid.plstms.{i}",
+             torch.nn.LSTM(2 * ENC_OUT, HID, batch_first=True,
+                           bidirectional=True))
+    _speller_sd(sd, {
+        "att": "spell.attention", "emb": "spell.char_emb.weight",
+        "cells": "spell.lstms.lstms", "init_query": "spell.init_query",
+        "cls": "spell.cls",
+    }, ENC_OUT)
+    return sd
+
+
+def make_ref_rewriter_state_dict(seed=0):
+    torch.manual_seed(seed)
+    sd = {}
+    in_d = EMB
+    for i in range(NBASE):
+        _add(sd, f"enc_lstm.lstms.{i}",
+             torch.nn.LSTM(in_d, HID, batch_first=True, bidirectional=True))
+        in_d = ENC_OUT
+    _speller_sd(sd, {
+        "att": "mha", "emb": "char_emb.weight", "cells": "dec_lstm.lstms",
+        "init_query": "init_query", "cls": "cls",
+    }, ENC_OUT)
+    return sd
+
+
+def test_las_import_matches_init_tree():
+    """Imported tree has the exact structure + shapes of las_init's."""
+    params = compat.las_params_from_state_dict(make_ref_las_state_dict())
+    ref = las_init(jax.random.PRNGKey(0), LAS_CFG)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(ref))
+    for got, want in zip(jax.tree_util.tree_leaves(params),
+                         jax.tree_util.tree_leaves(ref)):
+        assert got.shape == want.shape
+
+
+def test_imported_base_stack_matches_torch_forward():
+    """The layout conversion end-to-end: torch packed BiLSTM stack forward
+    == our masked-scan stack forward on the imported weights."""
+    sd = make_ref_las_state_dict()
+    params = compat.las_params_from_state_dict(sd)
+    rng = np.random.default_rng(0)
+    B, T = 3, 11
+    x = rng.standard_normal((B, T, IDIM)).astype(np.float32)
+    lengths = np.array([11, 7, 4])
+
+    from torch.nn.utils.rnn import pack_padded_sequence, pad_packed_sequence
+    h = torch.tensor(x)
+    for i in range(NBASE):
+        m = torch.nn.LSTM(IDIM if i == 0 else ENC_OUT, HID,
+                          batch_first=True, bidirectional=True)
+        prefix = f"listen.base.lstms.{i}."
+        m.load_state_dict({k[len(prefix):]: v for k, v in sd.items()
+                           if k.startswith(prefix)})
+        m.eval()
+        packed = pack_padded_sequence(h, torch.tensor(lengths),
+                                      batch_first=True, enforce_sorted=False)
+        with torch.no_grad():
+            out, _ = m(packed)
+        h, _ = pad_packed_sequence(out, batch_first=True, total_length=T)
+    want = h.numpy()
+
+    got, got_l = locked_lstm_stack_apply(
+        params["listener"]["base"], None, jnp.asarray(x),
+        jnp.asarray(lengths), 0.2, 0.3, True, False)
+    np.testing.assert_array_equal(np.asarray(got_l), lengths)
+    for b in range(B):  # pad region is policy (we zero; torch zeros too)
+        np.testing.assert_allclose(np.asarray(got)[b, :lengths[b]],
+                                   want[b, :lengths[b]], atol=2e-5)
+
+
+def test_imported_cell_matches_torch_step():
+    sd = make_ref_las_state_dict()
+    params = compat.las_params_from_state_dict(sd)
+    cell = torch.nn.LSTMCell(EMB + PROJ, DEC_HID)
+    cell.load_state_dict({k.rsplit(".", 1)[-1]: v for k, v in sd.items()
+                          if k.startswith("spell.lstms.lstms.0.")})
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((4, EMB + PROJ)).astype(np.float32)
+    h0 = rng.standard_normal((4, DEC_HID)).astype(np.float32)
+    c0 = rng.standard_normal((4, DEC_HID)).astype(np.float32)
+    with torch.no_grad():
+        h1, c1 = cell(torch.tensor(x), (torch.tensor(h0), torch.tensor(c0)))
+    got_h, got_c = lstm_cell_step(params["speller"]["cell1"],
+                                  jnp.asarray(x), jnp.asarray(h0),
+                                  jnp.asarray(c0))
+    np.testing.assert_allclose(np.asarray(got_h), h1.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_c), c1.numpy(), atol=2e-5)
+
+
+def test_imported_las_full_forward_runs():
+    params = jax.tree.map(jnp.asarray, compat.las_params_from_state_dict(
+        make_ref_las_state_dict()))
+    B, T, S = 2, 16, 5
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((B, T, IDIM)).astype(np.float32))
+    lx = jnp.asarray([16, 12])
+    dec_y = jnp.asarray(rng.integers(0, VOCAB, (B, S)))
+    # train=True: the teacher-forced decode (eval free-runs CHR_MAX_STEPS)
+    out = las_apply(params, LAS_CFG, jax.random.PRNGKey(0), x, lx, dec_y,
+                    tf_rate=1.0, train=True)
+    assert out.logits.shape == (B, S, VOCAB)
+    assert bool(jnp.all(jnp.isfinite(out.logits)))
+
+
+def test_imported_rewriter_full_forward_runs():
+    cfg = RewriterConfig(vocab_size=VOCAB, emb_dim=EMB, enc_lstm_layers=NBASE,
+                         enc_lstm_hid_dim=HID, att_proj_dim=PROJ,
+                         att_heads=HEADS, dec_lstm_hid_dim=DEC_HID,
+                         dec_lstm_out_dim=DEC_OUT)
+    params = jax.tree.map(jnp.asarray, compat.rewriter_params_from_state_dict(
+        make_ref_rewriter_state_dict()))
+    ref = rewriter_init(jax.random.PRNGKey(0), cfg)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(ref))
+    B, S = 2, 6
+    x = jnp.asarray([[3, 4, 5, 6, 29, 29], [7, 8, 9, 10, 11, 12]])
+    lx = jnp.asarray([4, 6])
+    dec_y = jnp.asarray([[3, 4, 5, 29, 29, 29], [7, 8, 9, 10, 29, 29]])
+    out = rewriter_apply(params, cfg, jax.random.PRNGKey(0), x, lx, dec_y,
+                         tf_rate=1.0, train=True)
+    assert out.logits.shape == (B, S, VOCAB)
+    assert bool(jnp.all(jnp.isfinite(out.logits)))
+
+
+def test_round_trip_las_params_exact():
+    """ours -> reference naming -> ours is exact (incl. bias re-fold)."""
+    params = las_init(jax.random.PRNGKey(3), LAS_CFG)
+    back = compat.las_params_from_state_dict(
+        compat.state_dict_from_las_params(params))
+    for got, want in zip(jax.tree_util.tree_leaves(back),
+                         jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_round_trip_rewriter_state_dict_keys():
+    """imported-then-exported state_dict keeps every reference key and
+    preserves the torch-side bias SUM (the quantity torch applies)."""
+    sd = make_ref_rewriter_state_dict()
+    params = compat.rewriter_params_from_state_dict(sd)
+    out = compat.state_dict_from_rewriter_params(params)
+    assert set(out) == {k for k in sd}
+    for k in sd:
+        if "bias_ih" in k:
+            hh = k.replace("bias_ih", "bias_hh")
+            np.testing.assert_allclose(
+                out[k] + out[hh], (sd[k] + sd[hh]).numpy(), atol=1e-6)
+        elif "bias_hh" in k or "final_map" in k:
+            continue  # folded above / synthesized zeros (unused in ref fwd)
+        else:
+            np.testing.assert_allclose(out[k], sd[k].numpy(), atol=1e-6)
+
+
+def test_untied_classifier_rejected():
+    sd = make_ref_las_state_dict()
+    sd["spell.cls.weight"] = sd["spell.cls.weight"] + 1.0
+    with pytest.raises(ValueError, match="tied"):
+        compat.las_params_from_state_dict(sd)
+
+
+def test_unknown_keys_rejected():
+    sd = make_ref_las_state_dict()
+    sd["spell.mystery.weight"] = torch.zeros(3)
+    with pytest.raises(KeyError, match="unrecognised"):
+        compat.las_params_from_state_dict(sd)
+
+
+def test_cli_import_produces_loadable_ckpt(tmp_path):
+    """torch .pt (trainer payload shape, src/train.py:352) -> our .ckpt."""
+    import sys
+    sys.path.insert(0, "tools")
+    try:
+        import import_reference_ckpt as cli
+    finally:
+        sys.path.pop(0)
+    from attention_based_e2e_asr_dnn_tpu.training.checkpoints import (
+        load_checkpoint,
+    )
+
+    sd = make_ref_las_state_dict()
+    pt = tmp_path / "ref.pt"
+    torch.save({"model_state_dict": sd, "epoch": 7}, pt)
+    out = tmp_path / "imported.ckpt"
+    assert cli.main(["las", str(pt), "-o", str(out)]) == 0
+    payload = load_checkpoint(str(out))
+    want = compat.las_params_from_state_dict(sd)
+    got = payload["params"]
+    np.testing.assert_allclose(
+        got["speller"]["cell1"]["w_ih"], want["speller"]["cell1"]["w_ih"])
+    # and the reverse direction emits a strict-loadable .pt payload
+    back = tmp_path / "back.pt"
+    assert cli.main(["las", str(out), "-o", str(back), "--export"]) == 0
+    rt = torch.load(back, map_location="cpu", weights_only=True)
+    assert set(rt["model_state_dict"]) == set(sd)

@@ -1,0 +1,152 @@
+"""StableHLO deployment export (export.py): fidelity + artifact contract.
+
+The exported artifact must reproduce the in-process decode exactly, load
+without model code (ExportedDecoder touches only jax + numpy), and respect
+its declared bucket shape.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from attention_based_e2e_asr_dnn_tpu import constants
+from attention_based_e2e_asr_dnn_tpu.export import (
+    ExportedDecoder,
+    export_from_experiment,
+    export_las_decoder,
+    save_artifact,
+)
+from attention_based_e2e_asr_dnn_tpu.models.las import (
+    LASConfig,
+    ListenerConfig,
+    SpellerConfig,
+    las_init,
+)
+
+CFG = LASConfig(
+    listener=ListenerConfig(input_dim=15, uniform_hid_dim=16, lstm_layers=1,
+                            plstm_layers=1),
+    speller=SpellerConfig(enc_out_dim=32, att_proj_dim=8, att_heads=1,
+                          dec_emb_dim=16, dec_lstm_hid_dim=16,
+                          dec_lstm_out_dim=8, CHR_MAX_STEPS=12),
+)
+BATCH, T_PAD = 4, 32
+
+
+@pytest.fixture(scope="module")
+def artifact_path(tmp_path_factory):
+    params = las_init(jax.random.PRNGKey(0), CFG)
+    art = export_las_decoder(
+        params, CFG, BATCH, T_PAD, vocab=constants.VOCAB,
+        sos_idx=constants.SOS_IDX, eos_idx=constants.EOS_IDX,
+        pad_idx=constants.PAD_IDX, platforms=("cpu",))
+    path = str(tmp_path_factory.mktemp("export") / "las.tlas")
+    save_artifact(path, art)
+    return path, params
+
+
+def test_exported_matches_in_process_decode(artifact_path):
+    path, params = artifact_path
+    from attention_based_e2e_asr_dnn_tpu.decoding.greedy import (
+        make_las_greedy_step,
+    )
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((BATCH, T_PAD, 15)).astype(np.float32)
+    lx = np.array([32, 20, 9, 4], np.int32)
+    dec = ExportedDecoder(path)
+    got = dec.decode_ids(x, lx)
+    want = np.asarray(make_las_greedy_step(CFG)(params, jnp.asarray(x),
+                                                jnp.asarray(lx)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_transcribe_pads_and_detokenizes(artifact_path):
+    path, _ = artifact_path
+    dec = ExportedDecoder(path)
+    rng = np.random.default_rng(1)
+    feats = [rng.standard_normal((t, 15)).astype(np.float32)
+             for t in (30, 7)]
+    texts = dec.transcribe(feats)
+    assert len(texts) == 2
+    assert all(isinstance(t, str) for t in texts)
+    vocab_ok = set("".join(texts)) <= set("".join(constants.VOCAB))
+    assert vocab_ok
+
+
+def test_transcribe_rejects_overlong_and_overbatch(artifact_path):
+    path, _ = artifact_path
+    dec = ExportedDecoder(path)
+    with pytest.raises(ValueError, match="frames > exported"):
+        dec.transcribe([np.zeros((T_PAD + 1, 15), np.float32)])
+    with pytest.raises(ValueError, match="> exported batch"):
+        dec.transcribe([np.zeros((4, 15), np.float32)] * (BATCH + 1))
+    with pytest.raises(ValueError, match="feature dim"):
+        dec.transcribe([np.zeros((4, 14), np.float32)])
+
+
+def test_bad_format_rejected(tmp_path):
+    path = str(tmp_path / "bogus.tlas")
+    np.savez(path[:-5] + ".npz", __record__=np.frombuffer(
+        json.dumps({"meta": {"format": "other"}, "params_tree": None})
+        .encode(), dtype=np.uint8))
+    os.rename(path[:-5] + ".npz", path)
+    with pytest.raises(ValueError, match="not a tpu-las-export"):
+        ExportedDecoder(path)
+
+
+def test_export_from_experiment_and_cli(tmp_path):
+    """Fabricated experiment folder (config.json snapshot + ckpt) exports,
+    and the CLI --check path drives the artifact end to end."""
+    from attention_based_e2e_asr_dnn_tpu.training.checkpoints import (
+        save_checkpoint,
+    )
+
+    exp = tmp_path / "run"
+    (exp / "ckpts").mkdir(parents=True)
+    snap = {
+        "compute_dtype": "float32",
+        "VOCAB": list(constants.VOCAB),
+        "SOS_IDX": constants.SOS_IDX,
+        "EOS_IDX": constants.EOS_IDX,
+        "model": {"configs": {
+            "listener_configs": {
+                "input_dim": 15, "uniform_hid_dim": 16, "lstm_layers": 1,
+                "plstm_layers": 1, "bidirectional": True,
+                "init_dropout": 0.0, "mid_dropout": 0.0,
+                "final_dropout": 0.0},
+            "speller_configs": {
+                "att_proj_dim": 8, "att_heads": 1, "att_dropout": 0.0,
+                "dec_emb_dim": 16, "dec_emb_dropout": 0.0,
+                "dec_lstm_hid_dim": 16, "dec_lstm_out_dim": 8,
+                "dec_lstm_dropout": 0.0, "CHR_MAX_STEPS": 12,
+                "CHR_PAD_IDX": constants.PAD_IDX,
+                "CHR_SOS_IDX": constants.SOS_IDX, "USE_GREEDY": True},
+        }},
+    }
+    with open(exp / "config.json", "w") as fh:
+        json.dump(snap, fh)
+    params = las_init(jax.random.PRNGKey(1), CFG)
+    save_checkpoint(str(exp / "ckpts" / "min-loss-ld-ppl-epoch[3].ckpt"),
+                    {"params": params, "epoch": 3})
+
+    out = str(tmp_path / "exp.tlas")
+    export_from_experiment(str(exp), out, batch=2, t_pad=16,
+                           platforms=("cpu",))
+    dec = ExportedDecoder(out)
+    assert dec.meta["batch"] == 2 and dec.meta["t_pad"] == 16
+
+    import sys
+    sys.path.insert(0, "tools")
+    try:
+        import export_serving as cli
+    finally:
+        sys.path.pop(0)
+    out2 = str(tmp_path / "cli.tlas")
+    assert cli.main([str(exp), "-o", out2, "--batch", "2", "--t-pad", "16",
+                     "--platforms", "cpu", "--check"]) == 0
+    assert os.path.exists(out2)
