@@ -6,8 +6,11 @@ bring trained weights into this framework with one command::
 
     python tools/import_reference_ckpt.py las  min-loss-epoch[42].pt -o las.ckpt
 
-and go back the other way with ``state_dict_from_las_params`` (round-trip
-is exact).  The mapping covers both model families:
+and go back the other way with ``state_dict_from_las_params``. Round-trip
+is exact for every leaf with a reference slot; our registered ``init_h/c``
+decoder states have none (see below) — if they trained away from zero the
+export warns that they are dropped.  The mapping covers both model
+families:
 
 * ``ListenAttendSpell``  (reference src/models.py:500-527) — keys under
   ``listen.base.lstms.{i}`` / ``listen.pyramid.plstms.{i}`` /
@@ -181,11 +184,39 @@ def _speller_in(sd: Mapping, p: dict) -> dict:
     }
 
 
-_KNOWN_UNUSED = re.compile(r"\.final_map\.(weight|bias)$")
+_KNOWN_UNUSED = re.compile(r"(^|\.)(final_map)\.(weight|bias)$")
 
 
-def _check_consumed(sd: Mapping, consumed: set, model: str) -> None:
-    leftover = [k for k in sd if k not in consumed and not _KNOWN_UNUSED.search(k)]
+class _RecordingView(Mapping):
+    """Read-through view that records which keys the import actually READ.
+
+    The strict leftover check compares against this record (not a pattern),
+    so a state_dict whose layer indices are non-contiguous (e.g. layer 1
+    missing from a truncated checkpoint) fails loudly instead of silently
+    importing a shallower stack — layer 2's keys were never read.
+    """
+
+    def __init__(self, sd: Mapping):
+        self._sd = sd
+        self.read: set = set()
+
+    def __getitem__(self, k):
+        self.read.add(k)
+        return self._sd[k]
+
+    def __contains__(self, k):  # membership probes are not consumption
+        return k in self._sd
+
+    def __iter__(self):
+        return iter(self._sd)
+
+    def __len__(self):
+        return len(self._sd)
+
+
+def _check_consumed(view: _RecordingView, model: str) -> None:
+    leftover = [k for k in view
+                if k not in view.read and not _KNOWN_UNUSED.search(k)]
     if leftover:
         raise KeyError(
             f"{model}: unrecognised state_dict keys {sorted(leftover)[:8]} — "
@@ -194,24 +225,22 @@ def _check_consumed(sd: Mapping, consumed: set, model: str) -> None:
         )
 
 
-def _consumed_keys(sd: Mapping, tree_keys_fn) -> set:
-    return {k for k in sd if tree_keys_fn(k)}
-
-
 def las_params_from_state_dict(sd: Mapping) -> dict:
     """Reference ``ListenAttendSpell.state_dict()`` -> our ``las_init`` tree.
 
     Layer counts and bidirectionality are inferred from the keys; no config
-    needed. Raises on unrecognised keys (strict, like torch's
-    ``load_state_dict``).
+    needed. Strict like torch's ``load_state_dict``: any key the import did
+    not actually read (unknown names, but also orphaned layers after a gap
+    in the layer indices) raises.
     """
+    view = _RecordingView(sd)
     params = {
         "listener": {
-            "base": _stack_in(sd, "listen.base.lstms.{}"),
-            "pyramid": _stack_in(sd, "listen.pyramid.plstms.{}"),
+            "base": _stack_in(view, "listen.base.lstms.{}"),
+            "pyramid": _stack_in(view, "listen.pyramid.plstms.{}"),
         },
         "speller": _speller_in(
-            sd,
+            view,
             {
                 "att": "spell.attention",
                 "emb": "spell.char_emb.weight",
@@ -221,15 +250,7 @@ def las_params_from_state_dict(sd: Mapping) -> dict:
             },
         ),
     }
-    pat = re.compile(
-        r"^(listen\.(base\.lstms|pyramid\.plstms)\.\d+\.(weight|bias)_(ih|hh)_l0(_reverse)?"
-        r"|spell\.attention\.(key|value|query|final)_map\.(weight|bias)"
-        r"|spell\.char_emb\.weight"
-        r"|spell\.lstms\.lstms\.[01]\.(weight|bias)_(ih|hh)"
-        r"|spell\.init_query"
-        r"|spell\.cls\.(weight|bias))$"
-    )
-    _check_consumed(sd, {k for k in sd if pat.match(k)}, "ListenAttendSpell")
+    _check_consumed(view, "ListenAttendSpell")
     return params
 
 
@@ -239,10 +260,11 @@ def rewriter_params_from_state_dict(sd: Mapping) -> dict:
     Our decoder IS ``speller_init`` (models/rewriter.py:94); the reference's
     3-way shared embedding maps onto the speller-tree ``char_emb`` leaf.
     """
+    view = _RecordingView(sd)
     params = {
-        "encoder": _stack_in(sd, "enc_lstm.lstms.{}"),
+        "encoder": _stack_in(view, "enc_lstm.lstms.{}"),
         "decoder": _speller_in(
-            sd,
+            view,
             {
                 "att": "mha",
                 "emb": "char_emb.weight",
@@ -252,15 +274,7 @@ def rewriter_params_from_state_dict(sd: Mapping) -> dict:
             },
         ),
     }
-    pat = re.compile(
-        r"^(enc_lstm\.lstms\.\d+\.(weight|bias)_(ih|hh)_l0(_reverse)?"
-        r"|mha\.(key|value|query|final)_map\.(weight|bias)"
-        r"|char_emb\.weight"
-        r"|dec_lstm\.lstms\.[01]\.(weight|bias)_(ih|hh)"
-        r"|init_query"
-        r"|cls\.(weight|bias))$"
-    )
-    _check_consumed(sd, {k for k in sd if pat.match(k)}, "Rewriter")
+    _check_consumed(view, "Rewriter")
     return params
 
 
@@ -318,7 +332,20 @@ def _speller_out(out: dict, spl: dict, p: dict) -> None:
     _cell_out(out, p["cells"] + ".1", spl["cell2"])
     out[p["init_query"]] = _np(spl["init_query"])
     # our trained init_h/c have no registered reference slot — dropped, as
-    # the reference model would ignore them (src/models.py:275-281)
+    # the reference model would ignore them (src/models.py:275-281). If they
+    # actually trained away from zero, that is information loss: say so.
+    nonzero = [n for n in ("init_h1", "init_c1", "init_h2", "init_c2")
+               if np.any(_np(spl[n]))]
+    if nonzero:
+        import warnings
+
+        warnings.warn(
+            f"trained initial decoder states {nonzero} are non-zero but "
+            f"have no registered slot in the reference model "
+            f"(src/models.py:275-281) — they are dropped from the exported "
+            f"state_dict; re-importing it resets them to zeros",
+            stacklevel=3,
+        )
 
 
 def state_dict_from_las_params(params: dict) -> Dict[str, np.ndarray]:

@@ -28,6 +28,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from attention_based_e2e_asr_dnn_tpu.decoding.select import (  # noqa: F401
+    backtrace,
+    backtrace_all,
+    select_best_sequences,
+)
+
 from attention_based_e2e_asr_dnn_tpu.models.las import SpellerConfig
 from attention_based_e2e_asr_dnn_tpu.ops.attention import (
     cross_attention_precompute,
@@ -188,31 +194,8 @@ def _beam_decode_scan(
     return tokens, parents, fin, final_scores, final_finished
 
 
-def backtrace(tokens: np.ndarray, parents: np.ndarray, beam: int, b: int,
-              k: int) -> list:
-    """Host-side backpointer walk: (steps, B, K) arrays -> token list."""
-    steps = tokens.shape[0]
-    seq = []
-    cur = k
-    for t in range(steps - 1, -1, -1):
-        seq.append(int(tokens[t, b, cur]))
-        cur = int(parents[t, b, cur])
-    return seq[::-1]
-
-
-def backtrace_all(tokens: np.ndarray, parents: np.ndarray) -> np.ndarray:
-    """Vectorized backpointer walk for EVERY (batch, beam) chain at once.
-
-    (steps, B, K) tokens/parents -> (steps, B, K) resolved sequences in
-    ``steps`` numpy ops total (the per-chain Python walk was B*K*steps
-    iterations — painful at B=128 x K=8 x 600)."""
-    steps, batch, K = tokens.shape
-    seq = np.empty((steps, batch, K), np.int32)
-    cur = np.broadcast_to(np.arange(K, dtype=np.int64), (batch, K)).copy()
-    for t in range(steps - 1, -1, -1):
-        seq[t] = np.take_along_axis(tokens[t], cur, axis=1)
-        cur = np.take_along_axis(parents[t].astype(np.int64), cur, axis=1)
-    return seq
+# backtrace/backtrace_all live in decoding/select.py (numpy-only, shared
+# with export.ExportedDecoder); re-exported here for existing callers.
 
 
 def beam_search(
@@ -238,25 +221,8 @@ def beam_search(
         params, cfg, enc_h, enc_l, beam_size, max_steps,
         exact_prune=(length_alpha == 0.0), max_len_factor=max_len_factor,
     )
-    tokens = np.asarray(tokens)
-    parents = np.asarray(parents)
-    final_scores = np.asarray(final_scores)
-
-    batch = final_scores.shape[0]
-    # Per-slot finished flags get reshuffled by top-k every step, so the true
-    # hypothesis length must come from the BACKTRACED token chain of each
-    # final slot, not from the per-step `fin` outputs.
-    seqs = backtrace_all(tokens, parents)           # (steps, B, K)
-    if length_alpha > 0.0:
-        is_pad = seqs == cfg.CHR_PAD_IDX            # (steps, B, K)
-        any_pad = is_pad.any(axis=0)
-        lengths = np.where(any_pad, is_pad.argmax(axis=0) + 1,
-                           max_steps).astype(np.float64)
-        norm = final_scores / (lengths ** length_alpha)
-    else:
-        norm = final_scores
-    best = norm.argmax(axis=1)                      # (B,)
-    return seqs[:, np.arange(batch), best].T.astype(np.int32)  # (B, steps)
+    return select_best_sequences(tokens, parents, final_scores,
+                                 cfg.CHR_PAD_IDX, length_alpha, max_steps)
 
 
 def make_las_beam_step(las_cfg, beam_size: int, length_alpha: float = 0.0,

@@ -9,10 +9,12 @@ exported with ``jax.export`` into a single self-contained ``.tlas`` file:
   * the parameter leaves (same data-only npz encoding as our checkpoints),
   * a JSON meta record (bucket shape, vocab, special ids, dtype).
 
-``ExportedDecoder`` runs the artifact with NO model code — it needs jax and
-numpy only, not this package's models/ops/decoding modules — so a serving
-fleet can deploy artifacts without tracking framework code versions, and a
-newer jax can still execute older artifacts (StableHLO forward
+``ExportedDecoder`` runs the artifact with NO model code — jax + numpy plus
+the pure-numpy ``decoding/select.py`` helper (beam artifacts serialize the
+device-side scan; the final backpointer walk + length-normalized selection
+is host-side numpy shared with ``beam_search`` itself, so the two can never
+drift). A serving fleet deploys artifacts without tracking framework model
+code, and a newer jax can still execute older artifacts (StableHLO forward
 compatibility).
 
 Like our checkpoints (training/checkpoints.py), the artifact is data-only:
@@ -30,8 +32,8 @@ import jax
 import numpy as np
 
 from attention_based_e2e_asr_dnn_tpu.training.checkpoints import (
-    _decode_tree,
     _encode_tree,
+    decode_params_npz,
 )
 
 _FORMAT = "tpu-las-export-v1"
@@ -62,15 +64,27 @@ def export_las_decoder(
     from jax import export as jexport
 
     if beam_size > 1:
+        # The beam path is scan (device) + backpointer walk (host numpy):
+        # export the jitted scan; ExportedDecoder finishes with the SAME
+        # select_best_sequences the in-process beam_search uses.
         from attention_based_e2e_asr_dnn_tpu.decoding.beam import (
-            make_las_beam_step,
+            _beam_decode_scan,
         )
+        from attention_based_e2e_asr_dnn_tpu.models.las import listener_apply
 
-        step = make_las_beam_step(
-            las_cfg, beam_size=beam_size, length_alpha=length_alpha,
-            compute_dtype=jnp.dtype(compute_dtype),
-            max_len_factor=max_len_factor,
-        )
+        steps = las_cfg.speller.CHR_MAX_STEPS
+        cdt = jnp.dtype(compute_dtype)
+
+        @jax.jit
+        def step(params, x, lx):
+            enc_h, enc_l = listener_apply(
+                params["listener"], las_cfg.listener, None,
+                x.astype(cdt), lx, train=False)
+            tokens, parents, _fin, final_scores, _ = _beam_decode_scan(
+                params["speller"], las_cfg.speller, enc_h, enc_l,
+                beam_size, steps, exact_prune=(length_alpha == 0.0),
+                max_len_factor=max_len_factor)
+            return tokens, parents, final_scores
     else:
         from attention_based_e2e_asr_dnn_tpu.decoding.greedy import (
             make_las_greedy_step,
@@ -101,6 +115,8 @@ def export_las_decoder(
         "pad_idx": int(pad_idx),
         "compute_dtype": str(jnp.dtype(compute_dtype)),
         "beam_size": int(beam_size),
+        "length_alpha": float(length_alpha),
+        "max_steps": int(las_cfg.speller.CHR_MAX_STEPS),
         "platforms": list(platforms),
     }
     return {"meta": meta, "params": params, "mlir": exported.serialize()}
@@ -140,16 +156,24 @@ class ExportedDecoder:
                     f"{path}: not a {_FORMAT} artifact "
                     f"(format={record['meta'].get('format')!r})")
             self.meta = record["meta"]
-            leaves = {f"@{i}": z[f"p{i}"]
-                      for i in range(sum(1 for k in z.files
-                                         if k.startswith("p")))}
-            self.params = _decode_tree(record["params_tree"], leaves)
+            self.params = decode_params_npz(z, record["params_tree"])
             mlir = bytes(z["__mlir__"])
         self._exported = jexport.deserialize(mlir)
 
     def decode_ids(self, x: np.ndarray, lx: np.ndarray) -> np.ndarray:
         """(batch, t_pad, input_dim) float32, (batch,) int32 -> int32 ids."""
-        return np.asarray(self._exported.call(self.params, x, lx))
+        out = self._exported.call(self.params, x, lx)
+        if self.meta.get("beam_size", 0) > 1:
+            from attention_based_e2e_asr_dnn_tpu.decoding.select import (
+                select_best_sequences,
+            )
+
+            tokens, parents, final_scores = out
+            return select_best_sequences(
+                tokens, parents, final_scores, self.meta["pad_idx"],
+                self.meta.get("length_alpha", 0.0),
+                self.meta.get("max_steps", 0))
+        return np.asarray(out)
 
     def transcribe(self, features: Sequence[np.ndarray]) -> List[str]:
         """Pad a list of (T_i, input_dim) MFCC arrays into the exported
@@ -204,29 +228,16 @@ def export_from_experiment(
     Mirrors serving.Transcriber's loading (config snapshot re-read,
     best-checkpoint selection, optional run_avg averaging).
     """
-    from attention_based_e2e_asr_dnn_tpu.config import load_config
     from attention_based_e2e_asr_dnn_tpu.models.las import (
         las_config_from_dicts,
     )
-    from attention_based_e2e_asr_dnn_tpu.serving import _best_checkpoint
-    from attention_based_e2e_asr_dnn_tpu.training.checkpoints import (
-        average_checkpoints,
-        load_checkpoint,
-    )
+    from attention_based_e2e_asr_dnn_tpu.serving import load_experiment
 
-    snap = load_config(os.path.join(exp_folder, "config.json"))
+    snap, payload = load_experiment(exp_folder, checkpoint, average)
     las_cfg = las_config_from_dicts(
         snap.model.configs["listener_configs"],
         snap.model.configs["speller_configs"],
     )
-    ckpt_dir = os.path.join(exp_folder, "ckpts")
-    if average:
-        paths = sorted(
-            os.path.join(ckpt_dir, f) for f in os.listdir(ckpt_dir)
-            if f.endswith(".ckpt") and f.startswith("min"))
-        payload = average_checkpoints(paths)
-    else:
-        payload = load_checkpoint(checkpoint or _best_checkpoint(ckpt_dir))
     artifact = export_las_decoder(
         payload["params"], las_cfg, batch, t_pad,
         vocab=snap.VOCAB, sos_idx=snap.SOS_IDX, eos_idx=snap.EOS_IDX,

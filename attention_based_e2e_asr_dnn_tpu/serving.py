@@ -59,6 +59,26 @@ def _best_checkpoint(ckpt_dir: str) -> str:
     return os.path.join(ckpt_dir, cands[-1])
 
 
+def load_experiment(exp_folder: str, checkpoint: Optional[str] = None,
+                    average: bool = False):
+    """(config snapshot, checkpoint payload) for a trained experiment.
+
+    The one place that implements best-checkpoint selection vs named
+    checkpoint vs run-avg averaging — shared by Transcriber, Corrector and
+    export.export_from_experiment."""
+    snap = load_config(os.path.join(exp_folder, "config.json"))
+    ckpt_dir = os.path.join(exp_folder, "ckpts")
+    if average:
+        paths = sorted(
+            os.path.join(ckpt_dir, f) for f in os.listdir(ckpt_dir)
+            if f.endswith(".ckpt") and f.startswith("min")
+        )
+        payload = average_checkpoints(paths)
+    else:
+        payload = load_checkpoint(checkpoint or _best_checkpoint(ckpt_dir))
+    return snap, payload
+
+
 class Corrector:
     """Gated Rewriter corrector over a trained LM experiment — the serving
     twin of the lminfer CLI (the reference's auto-correct claim,
@@ -100,19 +120,10 @@ class Corrector:
         )
 
         enable_compilation_cache()
-        snap = load_config(os.path.join(exp_folder, "config.json"))
+        snap, payload = load_experiment(exp_folder, checkpoint, average)
         self.lm_cfg = RewriterConfig(**snap.model.configs)
         self.batch_size = batch_size
         self.margin = float(confidence_margin)
-
-        ckpt_dir = os.path.join(exp_folder, "ckpts")
-        if average:
-            paths = sorted(
-                os.path.join(ckpt_dir, f) for f in os.listdir(ckpt_dir)
-                if f.endswith(".ckpt") and f.startswith("min"))
-            payload = average_checkpoints(paths)
-        else:
-            payload = load_checkpoint(checkpoint or _best_checkpoint(ckpt_dir))
         self.params = jax.tree.map(jnp.asarray, payload["params"])
 
         if beam_size > 1:
@@ -229,7 +240,7 @@ class Transcriber:
         )
 
         enable_compilation_cache()
-        snap = load_config(os.path.join(exp_folder, "config.json"))
+        snap, payload = load_experiment(exp_folder, checkpoint, average)
         self.cfg = las_config_from_dicts(
             snap.model.configs["listener_configs"],
             snap.model.configs["speller_configs"],
@@ -242,16 +253,6 @@ class Transcriber:
         self.batch_size = batch_size
         self.pad_time_multiple = pad_time_multiple
         self.n_feats = self.cfg.listener.input_dim
-
-        ckpt_dir = os.path.join(exp_folder, "ckpts")
-        if average:
-            paths = sorted(
-                os.path.join(ckpt_dir, f) for f in os.listdir(ckpt_dir)
-                if f.endswith(".ckpt") and f.startswith("min")
-            )
-            payload = average_checkpoints(paths)
-        else:
-            payload = load_checkpoint(checkpoint or _best_checkpoint(ckpt_dir))
         self.params = jax.tree.map(jnp.asarray, payload["params"])
 
         # data-parallel decode: replicate params, shard the batch dim.

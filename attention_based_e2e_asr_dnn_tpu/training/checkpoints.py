@@ -87,6 +87,16 @@ def save_checkpoint(path: str, payload: dict) -> str:
     return path
 
 
+def decode_params_npz(z, params_tree):
+    """Rebuild a params pytree from an open npz's ``p{i}`` leaf arrays.
+
+    Shared by ``load_checkpoint`` and ``export.ExportedDecoder`` so the
+    leaf-key scheme is decoded in exactly one place."""
+    leaves = {f"@{i}": z[f"p{i}"]
+              for i in range(sum(1 for k in z.files if k.startswith("p")))}
+    return _decode_tree(params_tree, leaves)
+
+
 def load_checkpoint(path: str) -> dict:
     """Load a checkpoint. ``opt_state`` comes back as a FLAT leaf list —
     rebuild it with ``tree_unflatten`` against the live optimizer structure
@@ -107,9 +117,7 @@ def load_checkpoint(path: str) -> dict:
         record = json.loads(bytes(z["__record__"]).decode("utf-8"))
         out = dict(record["meta"])
         if record["params_tree"] is not None:
-            leaves = {f"@{i}": z[f"p{i}"]
-                      for i in range(sum(1 for k in z.files if k.startswith("p")))}
-            out["params"] = _decode_tree(record["params_tree"], leaves)
+            out["params"] = decode_params_npz(z, record["params_tree"])
         if record["n_opt_leaves"]:
             out["opt_state"] = [z[f"o{i}"]
                                 for i in range(record["n_opt_leaves"])]

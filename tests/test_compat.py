@@ -249,6 +249,25 @@ def test_unknown_keys_rejected():
         compat.las_params_from_state_dict(sd)
 
 
+def test_gap_in_layer_indices_rejected():
+    """A truncated/drifted checkpoint with lstms.0 and lstms.2 but no
+    lstms.1 must fail loudly, not silently import a 1-layer stack."""
+    sd = make_ref_las_state_dict()
+    for k in list(sd):
+        if k.startswith("listen.base.lstms.1."):
+            sd[k.replace(".lstms.1.", ".lstms.2.")] = sd.pop(k)
+    with pytest.raises(KeyError, match="lstms.2"):
+        compat.las_params_from_state_dict(sd)
+
+
+def test_nonzero_init_states_warn_on_export():
+    """Trained init_h/c have no reference slot; exporting them must warn."""
+    params = las_init(jax.random.PRNGKey(4), LAS_CFG)
+    params["speller"]["init_h1"] = params["speller"]["init_h1"] + 0.5
+    with pytest.warns(UserWarning, match="init_h1.*dropped"):
+        compat.state_dict_from_las_params(params)
+
+
 def test_cli_import_produces_loadable_ckpt(tmp_path):
     """torch .pt (trainer payload shape, src/train.py:352) -> our .ckpt."""
     import sys

@@ -65,6 +65,34 @@ def test_exported_matches_in_process_decode(artifact_path):
     np.testing.assert_array_equal(got, want)
 
 
+def test_beam_export_matches_in_process_beam():
+    """Beam artifacts: exported scan + shared host-side selection must
+    reproduce make_las_beam_step's ids exactly (incl. length_alpha)."""
+    from attention_based_e2e_asr_dnn_tpu.decoding.beam import (
+        make_las_beam_step,
+    )
+
+    params = las_init(jax.random.PRNGKey(2), CFG)
+    art = export_las_decoder(
+        params, CFG, BATCH, T_PAD, vocab=constants.VOCAB,
+        sos_idx=constants.SOS_IDX, eos_idx=constants.EOS_IDX,
+        pad_idx=constants.PAD_IDX, beam_size=3, length_alpha=0.7,
+        platforms=("cpu",))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "beam.tlas")
+        save_artifact(path, art)
+        dec = ExportedDecoder(path)
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((BATCH, T_PAD, 15)).astype(np.float32)
+        lx = np.array([32, 17, 25, 8], np.int32)
+        got = dec.decode_ids(x, lx)
+    step = make_las_beam_step(CFG, beam_size=3, length_alpha=0.7)
+    want = np.asarray(step(params, jnp.asarray(x), jnp.asarray(lx)))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_transcribe_pads_and_detokenizes(artifact_path):
     path, _ = artifact_path
     dec = ExportedDecoder(path)

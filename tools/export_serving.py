@@ -46,17 +46,56 @@ def main(argv=None) -> int:
 
     if args.check:
         import numpy as np
+        import jax
+        import jax.numpy as jnp
+
+        from attention_based_e2e_asr_dnn_tpu.models.las import (
+            las_config_from_dicts,
+        )
+        from attention_based_e2e_asr_dnn_tpu.serving import load_experiment
 
         dec = ExportedDecoder(path)
         rng = np.random.default_rng(0)
-        feats = [
-            rng.standard_normal((args.t_pad // 2, dec.meta["input_dim"]))
-            .astype(np.float32)
-            for _ in range(min(2, args.batch))
-        ]
-        texts = dec.transcribe(feats)
-        print(f"check: decoded {len(texts)} utterances "
-              f"(first: {texts[0][:60]!r})")
+        x = rng.standard_normal(
+            (args.batch, args.t_pad, dec.meta["input_dim"])
+        ).astype(np.float32)
+        lx = rng.integers(args.t_pad // 2, args.t_pad + 1,
+                          args.batch).astype(np.int32)
+        got = dec.decode_ids(x, lx)
+
+        # the in-process serving step on the same checkpoint must agree
+        snap, payload = load_experiment(args.exp_folder, args.checkpoint,
+                                        args.average)
+        cfg = las_config_from_dicts(
+            snap.model.configs["listener_configs"],
+            snap.model.configs["speller_configs"])
+        cdt = jnp.dtype(getattr(snap, "compute_dtype", "float32"))
+        params = jax.tree.map(jnp.asarray, payload["params"])
+        if args.beam_size > 1:
+            from attention_based_e2e_asr_dnn_tpu.decoding.beam import (
+                make_las_beam_step,
+            )
+
+            step = make_las_beam_step(
+                cfg, beam_size=args.beam_size,
+                length_alpha=args.length_alpha, compute_dtype=cdt,
+                max_len_factor=args.max_len_factor)
+        else:
+            from attention_based_e2e_asr_dnn_tpu.decoding.greedy import (
+                make_las_greedy_step,
+            )
+
+            step = make_las_greedy_step(
+                cfg, compute_dtype=cdt,
+                max_len_factor=args.max_len_factor)
+        want = np.asarray(step(params, jnp.asarray(x), jnp.asarray(lx)))
+        if not np.array_equal(got, want):
+            n_bad = int((got != want).any(axis=-1).sum())
+            print(f"check FAILED: artifact ids differ from the in-process "
+                  f"step on {n_bad}/{args.batch} rows")
+            return 1
+        print(f"check: artifact ids match the in-process decode exactly "
+              f"({args.batch} rows x {got.shape[1]} steps)")
     return 0
 
 
