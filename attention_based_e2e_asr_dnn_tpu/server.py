@@ -1,0 +1,182 @@
+"""REST serving front end: transcription over HTTP, stdlib-only.
+
+The reference stops at CSV-writing inference (src/infer.py:36-195); a
+production deployment needs a network surface. This wraps the serving
+stack (``Transcriber`` -> ``StreamingTranscriber`` request queue) in a
+``ThreadingHTTPServer`` — concurrent POSTs are batched together by the
+streaming queue, so HTTP concurrency translates directly into device batch
+efficiency. No web framework: http.server + json only.
+
+API (JSON in/out):
+
+  GET  /healthz        liveness — 200 always (process is up)
+  GET  /readyz         readiness — 200 once the warmup ladder's first
+                       bucket is compiled (Transcriber.wait_ready), else 503
+  GET  /v1/meta        model/bucket metadata
+  POST /v1/transcribe  {"features": [[...frame...], ...]}          -> {"transcript": str}
+                       {"instances": [{"features": ...}, ...]}     -> {"transcripts": [str, ...]}
+
+Features are per-utterance (T, input_dim) float lists/arrays. Malformed
+input -> 400 with {"error": ...}; oversize batch -> 413.
+
+Run it: ``python tools/serve_http.py experiments/<run> --port 8080``.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from attention_based_e2e_asr_dnn_tpu.serving import (
+    StreamingTranscriber,
+    Transcriber,
+)
+
+_MAX_INSTANCES = 256  # per request; the streaming queue re-batches anyway
+
+
+class AsrHttpServer:
+    """HTTP front end over a Transcriber. ``port=0`` picks a free port
+    (recorded in ``self.port``). Use ``start()`` for a background thread or
+    ``serve_forever()`` to block; ``close()`` drains and shuts down."""
+
+    def __init__(
+        self,
+        transcriber: Transcriber,
+        host: str = "127.0.0.1",
+        port: int = 8080,
+        max_wait_ms: float = 10.0,
+    ):
+        self.transcriber = transcriber
+        self.streaming = StreamingTranscriber(transcriber,
+                                              max_wait_ms=max_wait_ms)
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            # quiet per-request stderr logging; errors still surface as
+            # HTTP statuses
+            def log_message(self, fmt, *args):
+                pass
+
+            def _send(self, code: int, payload: dict) -> None:
+                body = json.dumps(payload).encode("utf-8")
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._send(200, {"ok": True})
+                elif self.path == "/readyz":
+                    ready = server.transcriber.wait_ready(timeout=0.0)
+                    self._send(200 if ready else 503, {"ready": ready})
+                elif self.path == "/v1/meta":
+                    t = server.transcriber
+                    self._send(200, {
+                        "input_dim": t.n_feats,
+                        "batch_size": t.batch_size,
+                        "pad_time_multiple": t.pad_time_multiple,
+                        "vocab_size": len(t.vocab),
+                        "corrector": t.corrector is not None,
+                    })
+                else:
+                    self._send(404, {"error": f"no route {self.path}"})
+
+            def do_POST(self):
+                if self.path != "/v1/transcribe":
+                    self._send(404, {"error": f"no route {self.path}"})
+                    return
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(length))
+                except (ValueError, json.JSONDecodeError) as exc:
+                    self._send(400, {"error": f"bad JSON: {exc}"})
+                    return
+                try:
+                    texts, single = server._transcribe_request(req)
+                except _BadRequest as exc:
+                    self._send(exc.code, {"error": str(exc)})
+                    return
+                except Exception as exc:  # decode failure -> 500
+                    self._send(500, {"error": f"{type(exc).__name__}: {exc}"})
+                    return
+                if single:
+                    self._send(200, {"transcript": texts[0]})
+                else:
+                    self._send(200, {"transcripts": texts})
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.host = host
+        self.port = self._httpd.server_address[1]
+        self._thread: Optional[threading.Thread] = None
+
+    # -- request handling ---------------------------------------------------
+
+    def _parse_features(self, obj, where: str) -> np.ndarray:
+        if isinstance(obj, dict):
+            obj = obj.get("features")
+        if obj is None:
+            raise _BadRequest(400, f"{where}: missing 'features'")
+        try:
+            arr = np.asarray(obj, dtype=np.float32)
+        except (ValueError, TypeError) as exc:
+            raise _BadRequest(400, f"{where}: not a numeric array ({exc})")
+        if arr.ndim != 2 or arr.shape[0] == 0:
+            raise _BadRequest(
+                400, f"{where}: features must be (T, input_dim), "
+                     f"got shape {arr.shape}")
+        if arr.shape[1] != self.transcriber.n_feats:
+            raise _BadRequest(
+                400, f"{where}: feature dim {arr.shape[1]} != model "
+                     f"input_dim {self.transcriber.n_feats}")
+        return arr
+
+    def _transcribe_request(self, req):
+        if not isinstance(req, dict):
+            raise _BadRequest(400, "request body must be a JSON object")
+        if "instances" in req:
+            instances = req["instances"]
+            if not isinstance(instances, list) or not instances:
+                raise _BadRequest(400, "'instances' must be a non-empty list")
+            if len(instances) > _MAX_INSTANCES:
+                raise _BadRequest(
+                    413, f"{len(instances)} instances > limit "
+                         f"{_MAX_INSTANCES}")
+            feats = [self._parse_features(inst, f"instances[{i}]")
+                     for i, inst in enumerate(instances)]
+            single = False
+        else:
+            feats = [self._parse_features(req, "request")]
+            single = True
+        futures = [self.streaming.submit(f) for f in feats]
+        return [f.result() for f in futures], single
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def start(self) -> "AsrHttpServer":
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+        return self
+
+    def serve_forever(self) -> None:
+        self._httpd.serve_forever()
+
+    def close(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join()
+        self.streaming.close()
+
+
+class _BadRequest(Exception):
+    def __init__(self, code: int, msg: str):
+        super().__init__(msg)
+        self.code = code

@@ -1,0 +1,163 @@
+"""HTTP serving front end (server.py): API contract + parity with the
+underlying Transcriber."""
+
+import json
+import os
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+import jax
+
+from attention_based_e2e_asr_dnn_tpu import constants
+from attention_based_e2e_asr_dnn_tpu.models.las import (
+    LASConfig,
+    ListenerConfig,
+    SpellerConfig,
+    las_init,
+)
+from attention_based_e2e_asr_dnn_tpu.server import AsrHttpServer
+from attention_based_e2e_asr_dnn_tpu.serving import Transcriber
+from attention_based_e2e_asr_dnn_tpu.training.checkpoints import (
+    save_checkpoint,
+)
+
+CFG = LASConfig(
+    listener=ListenerConfig(input_dim=15, uniform_hid_dim=16, lstm_layers=1,
+                            plstm_layers=1),
+    speller=SpellerConfig(enc_out_dim=32, att_proj_dim=8, att_heads=1,
+                          dec_emb_dim=16, dec_lstm_hid_dim=16,
+                          dec_lstm_out_dim=8, CHR_MAX_STEPS=12),
+)
+
+
+def _make_experiment(root):
+    os.makedirs(os.path.join(root, "ckpts"))
+    snap = {
+        "compute_dtype": "float32",
+        "VOCAB": list(constants.VOCAB),
+        "SOS_IDX": constants.SOS_IDX,
+        "EOS_IDX": constants.EOS_IDX,
+        "model": {"configs": {
+            "listener_configs": {
+                "input_dim": 15, "uniform_hid_dim": 16, "lstm_layers": 1,
+                "plstm_layers": 1, "bidirectional": True,
+                "init_dropout": 0.0, "mid_dropout": 0.0,
+                "final_dropout": 0.0},
+            "speller_configs": {
+                "att_proj_dim": 8, "att_heads": 1, "att_dropout": 0.0,
+                "dec_emb_dim": 16, "dec_emb_dropout": 0.0,
+                "dec_lstm_hid_dim": 16, "dec_lstm_out_dim": 8,
+                "dec_lstm_dropout": 0.0, "CHR_MAX_STEPS": 12,
+                "CHR_PAD_IDX": constants.PAD_IDX,
+                "CHR_SOS_IDX": constants.SOS_IDX, "USE_GREEDY": True},
+        }},
+    }
+    with open(os.path.join(root, "config.json"), "w") as fh:
+        json.dump(snap, fh)
+    save_checkpoint(os.path.join(root, "ckpts",
+                                 "min-loss-ld-ppl-epoch[1].ckpt"),
+                    {"params": las_init(jax.random.PRNGKey(0), CFG),
+                     "epoch": 1})
+    return root
+
+
+def _get(url):
+    try:
+        with urllib.request.urlopen(url, timeout=30) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _post(url, payload, raw: bytes = None):
+    data = raw if raw is not None else json.dumps(payload).encode()
+    req = urllib.request.Request(
+        url, data=data, headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+@pytest.fixture(scope="module")
+def http_server(tmp_path_factory):
+    run_dir = _make_experiment(str(tmp_path_factory.mktemp("exp") / "run"))
+    t = Transcriber(run_dir, batch_size=4, pad_time_multiple=16)
+    server = AsrHttpServer(t, port=0, max_wait_ms=5.0).start()
+    yield server, t
+    server.close()
+
+
+def test_health_ready_meta(http_server):
+    server, t = http_server
+    base = f"http://127.0.0.1:{server.port}"
+    assert _get(f"{base}/healthz") == (200, {"ok": True})
+    code, body = _get(f"{base}/readyz")
+    assert code == 200 and body["ready"]  # no warmup ladder -> always ready
+    code, meta = _get(f"{base}/v1/meta")
+    assert code == 200
+    assert meta["input_dim"] == 15 and meta["batch_size"] == 4
+    assert meta["corrector"] is False
+    assert _get(f"{base}/nope")[0] == 404
+
+
+def test_transcribe_single_and_batch_match_direct(http_server):
+    server, t = http_server
+    base = f"http://127.0.0.1:{server.port}"
+    rng = np.random.default_rng(0)
+    feats = [rng.standard_normal((n, 15)).astype(np.float32)
+             for n in (20, 9, 14)]
+    want = t.transcribe(feats)
+
+    code, body = _post(f"{base}/v1/transcribe",
+                       {"features": feats[0].tolist()})
+    assert code == 200 and body["transcript"] == want[0]
+
+    code, body = _post(f"{base}/v1/transcribe", {
+        "instances": [{"features": f.tolist()} for f in feats]})
+    assert code == 200 and body["transcripts"] == want
+
+
+def test_concurrent_posts_are_batched_and_ordered(http_server):
+    server, t = http_server
+    base = f"http://127.0.0.1:{server.port}"
+    rng = np.random.default_rng(1)
+    feats = [rng.standard_normal((10 + i, 15)).astype(np.float32)
+             for i in range(6)]
+    want = t.transcribe(feats)
+
+    import threading
+
+    results = [None] * len(feats)
+
+    def hit(i):
+        _, body = _post(f"{base}/v1/transcribe",
+                        {"features": feats[i].tolist()})
+        results[i] = body["transcript"]
+
+    threads = [threading.Thread(target=hit, args=(i,))
+               for i in range(len(feats))]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert results == want
+
+
+def test_error_statuses(http_server):
+    server, _ = http_server
+    base = f"http://127.0.0.1:{server.port}"
+    url = f"{base}/v1/transcribe"
+    assert _post(url, None, raw=b"{not json")[0] == 400
+    assert _post(url, {"nope": 1})[0] == 400
+    code, body = _post(url, {"features": [[1.0] * 14] * 5})
+    assert code == 400 and "input_dim" in body["error"]
+    assert _post(url, {"features": [1.0, 2.0]})[0] == 400
+    assert _post(url, {"instances": []})[0] == 400
+    code, _ = _post(url, {"instances": [
+        {"features": [[0.0] * 15] * 2}] * 257})
+    assert code == 413
+    assert _post(f"{base}/other", {})[0] == 404

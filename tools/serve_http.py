@@ -1,0 +1,74 @@
+"""Serve a trained experiment over HTTP.
+
+    python tools/serve_http.py experiments/<run> --port 8080 \
+        [--batch-size 32] [--beam-size 8] [--warmup 256 512 1024 1536] \
+        [--corrector lm_experiments/<run>] [--data-parallel N]
+
+Gates traffic on readiness when a warmup ladder is given (the first/largest
+bucket compiles before "ready"); POST /v1/transcribe afterwards.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("exp_folder")
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--average", action="store_true")
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--pad-time-multiple", type=int, default=128)
+    ap.add_argument("--beam-size", type=int, default=0)
+    ap.add_argument("--max-wait-ms", type=float, default=10.0)
+    ap.add_argument("--warmup", type=int, nargs="*", default=None,
+                    help="bucket ladder (frame counts) to precompile")
+    ap.add_argument("--corrector", default=None,
+                    help="LM experiment folder for gated auto-correction")
+    ap.add_argument("--corrector-margin", type=float, default=0.0,
+                    help="score margin for the never-worse gate (fit one "
+                         "with lminfer confidence_margin: auto)")
+    ap.add_argument("--data-parallel", type=int, default=1)
+    args = ap.parse_args(argv)
+
+    from attention_based_e2e_asr_dnn_tpu.server import AsrHttpServer
+    from attention_based_e2e_asr_dnn_tpu.serving import (
+        Corrector,
+        Transcriber,
+    )
+
+    corrector = None
+    if args.corrector:
+        corrector = Corrector(args.corrector,
+                              confidence_margin=args.corrector_margin)
+
+    transcriber = Transcriber(
+        args.exp_folder,
+        checkpoint=args.checkpoint,
+        average=args.average,
+        beam_size=args.beam_size,
+        batch_size=args.batch_size,
+        pad_time_multiple=args.pad_time_multiple,
+        auto_warmup=args.warmup,
+        data_parallel=args.data_parallel,
+        corrector=corrector,
+    )
+    if args.warmup:
+        print("warming first bucket ...", flush=True)
+        transcriber.wait_ready()
+    server = AsrHttpServer(transcriber, host=args.host, port=args.port,
+                           max_wait_ms=args.max_wait_ms)
+    print(f"listening on {server.host}:{server.port}", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
