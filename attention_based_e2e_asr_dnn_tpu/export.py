@@ -106,6 +106,7 @@ def export_las_decoder(
 
     meta = {
         "format": _FORMAT,
+        "kind": "las",
         "batch": batch,
         "t_pad": t_pad,
         "input_dim": las_cfg.listener.input_dim,
@@ -122,6 +123,115 @@ def export_las_decoder(
     return {"meta": meta, "params": params, "mlir": exported.serialize()}
 
 
+def export_rewriter_corrector(
+    params,
+    lm_cfg,
+    batch: int,
+    t_pad: int,
+    *,
+    vocab: Sequence[str],
+    sos_idx: int,
+    eos_idx: int,
+    pad_idx: int,
+    compute_dtype="float32",
+    beam_size: int = 0,
+    length_alpha: float = 0.0,
+    max_len_factor: float = 3.0,
+    gate: bool = True,
+    platforms: Sequence[str] = ("tpu", "cpu"),
+) -> dict:
+    """Artifact for the Rewriter correction chain: text ids in, rewrite ids
+    (+ forced-decode scores for the never-worse gate) out.
+
+    ``t_pad`` is the static input/candidate width (ids incl. SOS/EOS).
+    ``gate=True`` additionally serializes the forced-decode scorer
+    (decoding/rescore.py) so ``ExportedCorrector`` can apply the
+    confidence gate on deployment hosts — margin stays a RUNTIME knob.
+    """
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    if t_pad % 32:
+        raise ValueError(
+            f"t_pad {t_pad} must be a multiple of 32 (the gate's candidate "
+            f"pad granularity, decoding/rescore.py::gate_corrections)")
+    cdt = jnp.dtype(compute_dtype)
+    params = jax.tree.map(np.asarray, params)
+    p_spec = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)
+    x_spec = jax.ShapeDtypeStruct((batch, t_pad), np.int32)
+    lx_spec = jax.ShapeDtypeStruct((batch,), np.int32)
+
+    if beam_size > 1:
+        from attention_based_e2e_asr_dnn_tpu.decoding.beam import (
+            _beam_decode_scan,
+        )
+        from attention_based_e2e_asr_dnn_tpu.ops.lstm import (
+            locked_lstm_stack_apply,
+        )
+
+        sp_cfg = lm_cfg.speller_config()
+        steps = lm_cfg.CHR_MAX_STEPS
+
+        @jax.jit
+        def step(p, x, lx):
+            emb = p["decoder"]["char_emb"].astype(cdt)
+            enc_h, enc_l = locked_lstm_stack_apply(
+                p["encoder"], None, emb[x], lx,
+                init_dropout=0.0, mid_dropout=0.0, bidirectional=True,
+                train=False)
+            tokens, parents, _fin, final_scores, _ = _beam_decode_scan(
+                p["decoder"], sp_cfg, enc_h, enc_l, beam_size, steps,
+                exact_prune=(length_alpha == 0.0),
+                max_len_factor=max_len_factor)
+            return tokens, parents, final_scores
+    else:
+        from attention_based_e2e_asr_dnn_tpu.decoding.greedy import (
+            make_rewriter_greedy_step,
+        )
+
+        step = make_rewriter_greedy_step(
+            lm_cfg, compute_dtype=cdt, max_len_factor=max_len_factor)
+
+    exported = jexport.export(step, platforms=list(platforms))(
+        p_spec, x_spec, lx_spec)
+
+    artifact = {
+        "meta": {
+            "format": _FORMAT,
+            "kind": "rewriter",
+            "batch": batch,
+            "t_pad": t_pad,
+            "vocab": list(vocab),
+            "sos_idx": int(sos_idx),
+            "eos_idx": int(eos_idx),
+            "pad_idx": int(pad_idx),
+            "compute_dtype": str(cdt),
+            "beam_size": int(beam_size),
+            "length_alpha": float(length_alpha),
+            "max_steps": int(lm_cfg.CHR_MAX_STEPS),
+            "gate": bool(gate),
+            "platforms": list(platforms),
+        },
+        "params": params,
+        "mlir": exported.serialize(),
+    }
+    if gate:
+        from attention_based_e2e_asr_dnn_tpu.decoding.rescore import (
+            make_rewriter_scorer,
+        )
+
+        # gate_corrections scores the correction AND the re-generated input
+        # in ONE stacked dispatch -> the scorer's static batch is 2B
+        scorer = make_rewriter_scorer(lm_cfg, compute_dtype=cdt)
+        s2 = jax.ShapeDtypeStruct((2 * batch, t_pad), np.int32)
+        l2 = jax.ShapeDtypeStruct((2 * batch,), np.int32)
+        artifact["mlir_scorer"] = jexport.export(
+            scorer, platforms=list(platforms))(
+                p_spec, s2, l2, s2, l2).serialize()
+    return artifact
+
+
 def save_artifact(path: str, artifact: dict) -> str:
     """Write the artifact as one npz: mlir bytes + param leaves + meta."""
     leaves: list = []
@@ -131,6 +241,9 @@ def save_artifact(path: str, artifact: dict) -> str:
     arrays["__record__"] = np.frombuffer(
         json.dumps(record).encode("utf-8"), dtype=np.uint8)
     arrays["__mlir__"] = np.frombuffer(artifact["mlir"], dtype=np.uint8)
+    if "mlir_scorer" in artifact:
+        arrays["__mlir_scorer__"] = np.frombuffer(
+            artifact["mlir_scorer"], dtype=np.uint8)
     tmp = path + ".tmp"
     with open(tmp, "wb") as fh:
         np.savez(fh, **arrays)
@@ -146,6 +259,8 @@ class ExportedDecoder:
     shape; shorter inputs are padded up, longer ones are rejected.
     """
 
+    _KIND = "las"
+
     def __init__(self, path: str):
         from jax import export as jexport
 
@@ -155,9 +270,17 @@ class ExportedDecoder:
                 raise ValueError(
                     f"{path}: not a {_FORMAT} artifact "
                     f"(format={record['meta'].get('format')!r})")
+            kind = record["meta"].get("kind", "las")
+            if kind != self._KIND:
+                raise ValueError(
+                    f"{path}: artifact kind {kind!r} — use "
+                    f"{'ExportedCorrector' if kind == 'rewriter' else '?'} "
+                    f"for it, not {type(self).__name__}")
             self.meta = record["meta"]
             self.params = decode_params_npz(z, record["params_tree"])
             mlir = bytes(z["__mlir__"])
+            self._scorer_mlir = (bytes(z["__mlir_scorer__"])
+                                 if "__mlir_scorer__" in z.files else None)
         self._exported = jexport.deserialize(mlir)
 
     def decode_ids(self, x: np.ndarray, lx: np.ndarray) -> np.ndarray:
@@ -197,17 +320,81 @@ class ExportedDecoder:
             x[i, : f.shape[0]] = f
             lx[i] = f.shape[0]
         ids = self.decode_ids(x, lx)
-        out = []
-        for i in range(len(features)):
-            chars = []
-            for t in ids[i]:
-                t = int(t)
-                if t == m["eos_idx"] or t == m["pad_idx"]:
-                    break
-                if t == m["sos_idx"]:
-                    continue
-                chars.append(m["vocab"][t])
-            out.append("".join(chars))
+        return [self._detok(ids[i]) for i in range(len(features))]
+
+    def _detok(self, row) -> str:
+        m = self.meta
+        chars = []
+        for t in row:
+            t = int(t)
+            if t == m["eos_idx"] or t == m["pad_idx"]:
+                break
+            if t == m["sos_idx"]:
+                continue
+            chars.append(m["vocab"][t])
+        return "".join(chars)
+
+
+class ExportedCorrector(ExportedDecoder):
+    """Run a Rewriter ``.tlas`` artifact: texts in, gated corrections out.
+
+    Mirrors ``serving.Corrector``: rewrite each input text, and (when the
+    artifact carries the scorer program) only keep a rewrite the model
+    scores ``margin`` avg-log-prob/char above regenerating the input —
+    never-worse under the model's own likelihood, with ``margin`` a runtime
+    knob. The gate's candidate layout + comparison is the SAME host-side
+    ``gate_corrections`` the serving path uses.
+    """
+
+    _KIND = "rewriter"
+
+    def __init__(self, path: str):
+        from jax import export as jexport
+
+        super().__init__(path)
+        self._scorer = (jexport.deserialize(self._scorer_mlir)
+                        if self._scorer_mlir is not None else None)
+
+    def transcribe(self, features):  # features are audio-side; not here
+        raise TypeError(
+            "rewriter artifacts correct TEXT — use .correct(texts); "
+            ".transcribe() is the LAS ExportedDecoder API")
+
+    def correct(self, texts: Sequence[str], margin: float = 0.0) -> List[str]:
+        m = self.meta
+        vm = {c: i for i, c in enumerate(m["vocab"])}
+        sos, eos = m["sos_idx"], m["eos_idx"]
+        B, W = m["batch"], m["t_pad"]
+        ids = [[sos] + [vm[c] for c in t if c in vm] + [eos] for t in texts]
+        for i, row in enumerate(ids):
+            if len(row) > W:
+                raise ValueError(
+                    f"text {i}: {len(row)} ids > exported t_pad {W}")
+        out: List[str] = [""] * len(texts)
+        for start in range(0, len(texts), B):
+            rows = ids[start:start + B]
+            x = np.full((B, W), eos, np.int32)
+            lx = np.ones((B,), np.int32)  # dummy rows: length 1
+            for r, row in enumerate(rows):
+                x[r, : len(row)] = row
+                lx[r] = len(row)
+            dec = self.decode_ids(x, lx)
+            if self._scorer is not None:
+                from attention_based_e2e_asr_dnn_tpu.decoding.rescore import (
+                    gate_corrections,
+                )
+
+                # clip degenerate over-long rewrites so the gate's candidate
+                # layout ([SOS..EOS]) stays within the scorer's static width
+                use, _, _ = gate_corrections(
+                    lambda p, gx, glx, cand, lc:
+                        self._scorer.call(p, gx, glx, cand, lc),
+                    self.params, x, lx, dec[:, : W - 2], eos, sos,
+                    margin=margin)
+            for r in range(len(rows)):
+                rewrite = self._detok(dec[r])
+                keep = bool(use[r]) if self._scorer is not None else True
+                out[start + r] = rewrite if keep else texts[start + r]
         return out
 
 
@@ -245,5 +432,42 @@ def export_from_experiment(
         compute_dtype=getattr(snap, "compute_dtype", "float32"),
         beam_size=beam_size, length_alpha=length_alpha,
         max_len_factor=max_len_factor, platforms=platforms,
+    )
+    return save_artifact(out_path, artifact)
+
+
+def export_corrector_from_experiment(
+    exp_folder: str,
+    out_path: str,
+    batch: int = 8,
+    t_pad: int = 512,
+    checkpoint: Optional[str] = None,
+    average: bool = False,
+    beam_size: int = 0,
+    length_alpha: float = 0.0,
+    max_len_factor: float = 3.0,
+    gate: bool = True,
+    platforms: Sequence[str] = ("tpu", "cpu"),
+) -> str:
+    """Rewriter (LM) experiment -> one correction ``.tlas`` artifact.
+
+    Vocabulary comes from the shared constants table, exactly as
+    ``serving.Corrector`` resolves it.
+    """
+    from attention_based_e2e_asr_dnn_tpu import constants
+    from attention_based_e2e_asr_dnn_tpu.models.rewriter import (
+        RewriterConfig,
+    )
+    from attention_based_e2e_asr_dnn_tpu.serving import load_experiment
+
+    snap, payload = load_experiment(exp_folder, checkpoint, average)
+    lm_cfg = RewriterConfig(**snap.model.configs)
+    artifact = export_rewriter_corrector(
+        payload["params"], lm_cfg, batch, t_pad,
+        vocab=constants.VOCAB, sos_idx=constants.SOS_IDX,
+        eos_idx=constants.EOS_IDX, pad_idx=constants.PAD_IDX,
+        compute_dtype=getattr(snap, "compute_dtype", "float32"),
+        beam_size=beam_size, length_alpha=length_alpha,
+        max_len_factor=max_len_factor, gate=gate, platforms=platforms,
     )
     return save_artifact(out_path, artifact)

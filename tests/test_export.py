@@ -127,6 +127,95 @@ def test_bad_format_rejected(tmp_path):
         ExportedDecoder(path)
 
 
+def _make_lm_experiment(root, cfg):
+    """Fabricated Rewriter experiment folder (config.json + one ckpt)."""
+    from attention_based_e2e_asr_dnn_tpu.models.rewriter import (
+        rewriter_init,
+    )
+    from attention_based_e2e_asr_dnn_tpu.training.checkpoints import (
+        save_checkpoint,
+    )
+
+    os.makedirs(os.path.join(root, "ckpts"))
+    snap = {
+        "compute_dtype": "float32",
+        "model": {"configs": {
+            "vocab_size": cfg.vocab_size, "emb_dim": cfg.emb_dim,
+            "enc_lstm_layers": cfg.enc_lstm_layers,
+            "enc_lstm_hid_dim": cfg.enc_lstm_hid_dim,
+            "att_proj_dim": cfg.att_proj_dim, "att_heads": cfg.att_heads,
+            "dec_lstm_hid_dim": cfg.dec_lstm_hid_dim,
+            "dec_lstm_out_dim": cfg.dec_lstm_out_dim,
+            "CHR_MAX_STEPS": cfg.CHR_MAX_STEPS,
+        }},
+    }
+    with open(os.path.join(root, "config.json"), "w") as fh:
+        json.dump(snap, fh)
+    params = rewriter_init(jax.random.PRNGKey(5), cfg)
+    save_checkpoint(os.path.join(root, "ckpts",
+                                 "min-loss-ld-ppl-epoch[2].ckpt"),
+                    {"params": params, "epoch": 2})
+    return root
+
+
+def test_corrector_export_matches_serving_corrector(tmp_path):
+    """Rewriter artifact (decode + gate scorer): gated corrections must
+    equal serving.Corrector's on the same checkpoint, and the kind guard
+    must reject cross-loading."""
+    from attention_based_e2e_asr_dnn_tpu.export import (
+        ExportedCorrector,
+        export_corrector_from_experiment,
+    )
+    from attention_based_e2e_asr_dnn_tpu.models.rewriter import (
+        RewriterConfig,
+    )
+    from attention_based_e2e_asr_dnn_tpu.serving import Corrector
+
+    lm_cfg = RewriterConfig(
+        vocab_size=30, emb_dim=16, enc_lstm_layers=2, enc_lstm_hid_dim=8,
+        att_proj_dim=8, att_heads=2, dec_lstm_hid_dim=12,
+        dec_lstm_out_dim=10, CHR_MAX_STEPS=12)
+    exp = _make_lm_experiment(str(tmp_path / "lm"), lm_cfg)
+    out = str(tmp_path / "corr.tlas")
+    export_corrector_from_experiment(exp, out, batch=2, t_pad=32,
+                                     platforms=("cpu",))
+    dec = ExportedCorrector(out)
+    assert dec.meta["kind"] == "rewriter" and dec.meta["gate"]
+
+    texts = ["HELLO WORLD", "THE CAT", "A", "HI THERE YO"]  # 2 chunks of 2
+    corr = Corrector(exp, beam_size=0, confidence_margin=0.0, batch_size=2)
+    want = corr.correct(texts)
+    got = dec.correct(texts, margin=0.0)
+    assert got == want
+    # huge margin -> gate keeps nothing, inputs pass through unchanged
+    assert dec.correct(texts, margin=1e9) == texts
+
+    # kind guards both ways
+    with pytest.raises(ValueError, match="kind"):
+        ExportedDecoder(out)
+    with pytest.raises(TypeError, match="correct"):
+        dec.transcribe([np.zeros((4, 15), np.float32)])
+
+    # CLI drive with the real parity check
+    import sys
+    sys.path.insert(0, "tools")
+    try:
+        import export_serving as cli
+    finally:
+        sys.path.pop(0)
+    out2 = str(tmp_path / "cli-corr.tlas")
+    assert cli.main([exp, "-o", out2, "--model", "rewriter", "--batch", "2",
+                     "--t-pad", "32", "--platforms", "cpu", "--check"]) == 0
+
+
+def test_corrector_kind_guard_on_las_artifact(artifact_path):
+    from attention_based_e2e_asr_dnn_tpu.export import ExportedCorrector
+
+    path, _ = artifact_path
+    with pytest.raises(ValueError, match="kind"):
+        ExportedCorrector(path)
+
+
 def test_export_from_experiment_and_cli(tmp_path):
     """Fabricated experiment folder (config.json snapshot + ckpt) exports,
     and the CLI --check path drives the artifact end to end."""

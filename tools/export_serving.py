@@ -2,10 +2,12 @@
 
     python tools/export_serving.py experiments/<run> -o las-b8-t512.tlas \
         --batch 8 --t-pad 512 [--beam-size 8] [--average] [--check]
+    python tools/export_serving.py lm_experiments/<run> -o corr.tlas \
+        --model rewriter --t-pad 256 [--no-gate]
 
-``--check`` reloads the artifact through ExportedDecoder (model-code-free
-path) and verifies it reproduces the in-process serving step's ids on a
-random batch.
+``--check`` reloads the artifact through ExportedDecoder/ExportedCorrector
+(model-code-free path) and verifies it reproduces the in-process serving
+step's output on random input.
 """
 
 from __future__ import annotations
@@ -18,6 +20,7 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("exp_folder")
     ap.add_argument("-o", "--output", required=True)
+    ap.add_argument("--model", choices=["las", "rewriter"], default="las")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--t-pad", type=int, default=512)
     ap.add_argument("--checkpoint", default=None)
@@ -25,14 +28,48 @@ def main(argv=None) -> int:
     ap.add_argument("--beam-size", type=int, default=0)
     ap.add_argument("--length-alpha", type=float, default=0.0)
     ap.add_argument("--max-len-factor", type=float, default=3.0)
+    ap.add_argument("--no-gate", action="store_true",
+                    help="rewriter only: skip the never-worse scorer")
     ap.add_argument("--platforms", nargs="+", default=["tpu", "cpu"])
     ap.add_argument("--check", action="store_true")
     args = ap.parse_args(argv)
 
     from attention_based_e2e_asr_dnn_tpu.export import (
+        ExportedCorrector,
         ExportedDecoder,
+        export_corrector_from_experiment,
         export_from_experiment,
     )
+    import os
+
+    if args.model == "rewriter":
+        path = export_corrector_from_experiment(
+            args.exp_folder, args.output, batch=args.batch,
+            t_pad=args.t_pad, checkpoint=args.checkpoint,
+            average=args.average, beam_size=args.beam_size,
+            length_alpha=args.length_alpha,
+            max_len_factor=args.max_len_factor, gate=not args.no_gate,
+            platforms=tuple(args.platforms),
+        )
+        print(f"exported -> {path} ({os.path.getsize(path) / 1e6:.1f} MB)")
+        if args.check:
+            from attention_based_e2e_asr_dnn_tpu.serving import Corrector
+
+            corr = Corrector(args.exp_folder, checkpoint=args.checkpoint,
+                             average=args.average, beam_size=args.beam_size,
+                             length_alpha=args.length_alpha,
+                             max_len_factor=args.max_len_factor,
+                             gate=not args.no_gate, batch_size=args.batch)
+            texts = ["HELLO WORLD", "THE CAT SAT", "A"]
+            got = ExportedCorrector(path).correct(texts)
+            want = corr.correct(texts)
+            if got != want:
+                print(f"check FAILED: artifact corrections {got!r} != "
+                      f"in-process {want!r}")
+                return 1
+            print(f"check: artifact corrections match the in-process "
+                  f"Corrector exactly ({len(texts)} texts)")
+        return 0
 
     path = export_from_experiment(
         args.exp_folder, args.output, batch=args.batch, t_pad=args.t_pad,
@@ -40,8 +77,6 @@ def main(argv=None) -> int:
         beam_size=args.beam_size, length_alpha=args.length_alpha,
         max_len_factor=args.max_len_factor, platforms=tuple(args.platforms),
     )
-    import os
-
     print(f"exported -> {path} ({os.path.getsize(path) / 1e6:.1f} MB)")
 
     if args.check:
