@@ -221,10 +221,17 @@ def export_rewriter_corrector(
             make_rewriter_scorer,
         )
 
+        # The gate must score the FULL rewrite (up to CHR_MAX_STEPS tokens
+        # + SOS/EOS), not a clipped prefix — otherwise the never-worse
+        # guarantee would be asserted for a different string than the one
+        # returned. So the scorer's static width covers the longest
+        # possible candidate, independent of the input width t_pad.
+        score_width = -(-max(t_pad, lm_cfg.CHR_MAX_STEPS + 2) // 32) * 32
+        artifact["meta"]["score_width"] = score_width
         # gate_corrections scores the correction AND the re-generated input
         # in ONE stacked dispatch -> the scorer's static batch is 2B
         scorer = make_rewriter_scorer(lm_cfg, compute_dtype=cdt)
-        s2 = jax.ShapeDtypeStruct((2 * batch, t_pad), np.int32)
+        s2 = jax.ShapeDtypeStruct((2 * batch, score_width), np.int32)
         l2 = jax.ShapeDtypeStruct((2 * batch,), np.int32)
         artifact["mlir_scorer"] = jexport.export(
             scorer, platforms=list(platforms))(
@@ -272,10 +279,12 @@ class ExportedDecoder:
                     f"(format={record['meta'].get('format')!r})")
             kind = record["meta"].get("kind", "las")
             if kind != self._KIND:
+                loaders = {"las": "ExportedDecoder",
+                           "rewriter": "ExportedCorrector"}
                 raise ValueError(
                     f"{path}: artifact kind {kind!r} — use "
-                    f"{'ExportedCorrector' if kind == 'rewriter' else '?'} "
-                    f"for it, not {type(self).__name__}")
+                    f"{loaders.get(kind, 'a matching loader')} for it, "
+                    f"not {type(self).__name__}")
             self.meta = record["meta"]
             self.params = decode_params_npz(z, record["params_tree"])
             mlir = bytes(z["__mlir__"])
@@ -323,16 +332,15 @@ class ExportedDecoder:
         return [self._detok(ids[i]) for i in range(len(features))]
 
     def _detok(self, row) -> str:
+        # decode output pads with EOS after the first EOS, so stopping at
+        # EOS (ids_to_str) also covers padding; one detokenizer serves the
+        # whole framework
+        from attention_based_e2e_asr_dnn_tpu.utils.levenshtein import (
+            ids_to_str,
+        )
+
         m = self.meta
-        chars = []
-        for t in row:
-            t = int(t)
-            if t == m["eos_idx"] or t == m["pad_idx"]:
-                break
-            if t == m["sos_idx"]:
-                continue
-            chars.append(m["vocab"][t])
-        return "".join(chars)
+        return ids_to_str(row, m["vocab"], m["sos_idx"], m["eos_idx"])
 
 
 class ExportedCorrector(ExportedDecoder):
@@ -384,12 +392,18 @@ class ExportedCorrector(ExportedDecoder):
                     gate_corrections,
                 )
 
-                # clip degenerate over-long rewrites so the gate's candidate
-                # layout ([SOS..EOS]) stays within the scorer's static width
+                # widen the input rows to the scorer's static width (which
+                # covers the longest possible [SOS..EOS] candidate) so
+                # gate_corrections' computed layout lands exactly on it and
+                # the FULL rewrite is scored — same strings as the
+                # in-process Corrector gates on
+                ws = self.meta["score_width"]
+                x_gate = np.full((B, ws), eos, np.int32)
+                x_gate[:, :W] = x
                 use, _, _ = gate_corrections(
                     lambda p, gx, glx, cand, lc:
                         self._scorer.call(p, gx, glx, cand, lc),
-                    self.params, x, lx, dec[:, : W - 2], eos, sos,
+                    self.params, x_gate, lx, dec, eos, sos,
                     margin=margin)
             for r in range(len(rows)):
                 rewrite = self._detok(dec[r])

@@ -50,7 +50,9 @@ class AsrHttpServer:
         host: str = "127.0.0.1",
         port: int = 8080,
         max_wait_ms: float = 10.0,
+        max_body_bytes: int = 128 * 1024 * 1024,
     ):
+        self.max_body_bytes = max_body_bytes
         self.transcriber = transcriber
         self.streaming = StreamingTranscriber(transcriber,
                                               max_wait_ms=max_wait_ms)
@@ -74,7 +76,12 @@ class AsrHttpServer:
                 if self.path == "/healthz":
                     self._send(200, {"ok": True})
                 elif self.path == "/readyz":
-                    ready = server.transcriber.wait_ready(timeout=0.0)
+                    try:
+                        ready = server.transcriber.wait_ready(timeout=0.0)
+                    except RuntimeError as exc:  # background warmup died
+                        self._send(503, {"ready": False,
+                                         "error": str(exc)})
+                        return
                     self._send(200 if ready else 503, {"ready": ready})
                 elif self.path == "/v1/meta":
                     t = server.transcriber
@@ -94,6 +101,11 @@ class AsrHttpServer:
                     return
                 try:
                     length = int(self.headers.get("Content-Length", 0))
+                    if length > server.max_body_bytes:
+                        self._send(413, {
+                            "error": f"body {length} bytes > limit "
+                                     f"{server.max_body_bytes}"})
+                        return
                     req = json.loads(self.rfile.read(length))
                 except (ValueError, json.JSONDecodeError) as exc:
                     self._send(400, {"error": f"bad JSON: {exc}"})

@@ -122,6 +122,11 @@ class Corrector:
         enable_compilation_cache()
         snap, payload = load_experiment(exp_folder, checkpoint, average)
         self.lm_cfg = RewriterConfig(**snap.model.configs)
+        # honor the training snapshot's bf16 policy like Transcriber does —
+        # export_corrector_from_experiment reads the same field, so the
+        # deployed artifact and this in-process chain stay bit-identical
+        self.compute_dtype = jnp.dtype(
+            getattr(snap, "compute_dtype", "float32"))
         self.batch_size = batch_size
         self.margin = float(confidence_margin)
         self.params = jax.tree.map(jnp.asarray, payload["params"])
@@ -133,6 +138,7 @@ class Corrector:
 
             self._step = make_rewriter_beam_step(
                 self.lm_cfg, beam_size=beam_size, length_alpha=length_alpha,
+                compute_dtype=self.compute_dtype,
                 max_len_factor=max_len_factor)
         else:
             from attention_based_e2e_asr_dnn_tpu.decoding.greedy import (
@@ -140,7 +146,8 @@ class Corrector:
             )
 
             self._step = make_rewriter_greedy_step(
-                self.lm_cfg, max_len_factor=max_len_factor)
+                self.lm_cfg, compute_dtype=self.compute_dtype,
+                max_len_factor=max_len_factor)
 
         self._scorer = None
         if gate:
@@ -148,7 +155,8 @@ class Corrector:
                 make_rewriter_scorer,
             )
 
-            self._scorer = make_rewriter_scorer(self.lm_cfg)
+            self._scorer = make_rewriter_scorer(
+                self.lm_cfg, compute_dtype=self.compute_dtype)
 
     def correct(self, texts: Sequence[str]) -> List[str]:
         """Rewrite transcriptions; gated rewrites fall back to the input.

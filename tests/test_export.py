@@ -181,6 +181,9 @@ def test_corrector_export_matches_serving_corrector(tmp_path):
                                      platforms=("cpu",))
     dec = ExportedCorrector(out)
     assert dec.meta["kind"] == "rewriter" and dec.meta["gate"]
+    # the scorer's static width covers the longest possible candidate
+    # (CHR_MAX_STEPS + SOS/EOS), so the gate scores FULL rewrites
+    assert dec.meta["score_width"] >= lm_cfg.CHR_MAX_STEPS + 2
 
     texts = ["HELLO WORLD", "THE CAT", "A", "HI THERE YO"]  # 2 chunks of 2
     corr = Corrector(exp, beam_size=0, confidence_margin=0.0, batch_size=2)

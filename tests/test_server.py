@@ -161,3 +161,31 @@ def test_error_statuses(http_server):
         {"features": [[0.0] * 15] * 2}] * 257})
     assert code == 413
     assert _post(f"{base}/other", {})[0] == 404
+
+
+def test_body_size_cap(http_server):
+    server, _ = http_server
+    url = f"http://127.0.0.1:{server.port}/v1/transcribe"
+    old = server.max_body_bytes
+    server.max_body_bytes = 64
+    try:
+        code, body = _post(url, {"features": [[0.0] * 15] * 20})
+        assert code == 413 and "limit 64" in body["error"]
+    finally:
+        server.max_body_bytes = old
+
+
+def test_readyz_surfaces_warmup_failure(http_server):
+    """A dead background warmup must yield a 503 JSON body, not a dropped
+    connection."""
+    server, t = http_server
+    base = f"http://127.0.0.1:{server.port}"
+    orig = t.wait_ready
+    t.wait_ready = lambda timeout=None: (_ for _ in ()).throw(
+        RuntimeError("background auto-warmup failed"))
+    try:
+        code, body = _get(f"{base}/readyz")
+        assert code == 503
+        assert body["ready"] is False and "auto-warmup" in body["error"]
+    finally:
+        t.wait_ready = orig

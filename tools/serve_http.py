@@ -57,14 +57,29 @@ def main(argv=None) -> int:
         data_parallel=args.data_parallel,
         corrector=corrector,
     )
-    if args.warmup:
-        print("warming first bucket ...", flush=True)
-        transcriber.wait_ready()
+    # bind FIRST: /healthz answers during warmup and /readyz gates traffic
+    # (a readiness probe that can't connect looks like a dead pod)
     server = AsrHttpServer(transcriber, host=args.host, port=args.port,
-                           max_wait_ms=args.max_wait_ms)
-    print(f"listening on {server.host}:{server.port}", flush=True)
+                           max_wait_ms=args.max_wait_ms).start()
+    print(f"listening on {server.host}:{server.port}"
+          + (" (readiness gated on warmup via /readyz)" if args.warmup
+             else ""), flush=True)
+    if args.warmup:
+        import threading
+
+        def _announce():
+            try:
+                transcriber.wait_ready()
+                print("ready: first warmup bucket compiled", flush=True)
+            except RuntimeError as exc:
+                print(f"warmup FAILED: {exc}", flush=True)
+
+        threading.Thread(target=_announce, daemon=True).start()
     try:
-        server.serve_forever()
+        import time
+
+        while True:
+            time.sleep(3600)
     except KeyboardInterrupt:
         server.close()
     return 0
