@@ -412,6 +412,81 @@ class ExportedCorrector(ExportedDecoder):
         return out
 
 
+class ArtifactTranscriber:
+    """serving.Transcriber-compatible front end over ``.tlas`` artifacts.
+
+    Takes one artifact per decode bucket (same checkpoint, different
+    (batch, t_pad)) and routes each utterance to the smallest bucket that
+    fits — the exported twin of the in-process warm-bucket ladder. Exposes
+    the attribute surface ``server.AsrHttpServer`` / ``StreamingTranscriber``
+    consume (``transcribe``/``batch_size``/``wait_ready``/...), so the HTTP
+    endpoint can serve from artifacts with no model code on the host:
+
+        python tools/serve_http.py --artifact las-b8-t512.tlas --port 8080
+    """
+
+    def __init__(self, artifact_paths: Sequence[str],
+                 corrector: Optional["ExportedCorrector"] = None,
+                 margin: float = 0.0):
+        if isinstance(artifact_paths, (str, os.PathLike)):
+            artifact_paths = [artifact_paths]
+        self.buckets = sorted((ExportedDecoder(p) for p in artifact_paths),
+                              key=lambda d: d.meta["t_pad"])
+        if not self.buckets:
+            raise ValueError("no artifacts given")
+        dims = {d.meta["input_dim"] for d in self.buckets}
+        if len(dims) != 1:
+            raise ValueError(f"artifacts disagree on input_dim: {dims}")
+        self.corrector = corrector
+        self.margin = margin
+        self.n_feats = self.buckets[0].meta["input_dim"]
+        self.vocab = self.buckets[0].meta["vocab"]
+        self.batch_size = max(d.meta["batch"] for d in self.buckets)
+        self.pad_time_multiple = self.buckets[0].meta["t_pad"]
+
+    def wait_ready(self, timeout: Optional[float] = None) -> bool:
+        return True  # artifacts are precompiled programs; XLA-compile of
+        # the deserialized module happens lazily on first call per bucket
+
+    def warmup(self) -> None:
+        """Run one dummy batch through every bucket so first requests do
+        not pay the deserialize/compile cost."""
+        for d in self.buckets:
+            m = d.meta
+            d.decode_ids(
+                np.zeros((m["batch"], m["t_pad"], m["input_dim"]),
+                         np.float32),
+                np.ones((m["batch"],), np.int32))
+
+    def _route(self, n_frames: int) -> "ExportedDecoder":
+        for d in self.buckets:
+            if n_frames <= d.meta["t_pad"]:
+                return d
+        raise ValueError(
+            f"utterance of {n_frames} frames exceeds the largest exported "
+            f"bucket t_pad {self.buckets[-1].meta['t_pad']}")
+
+    def transcribe(self, features: Sequence[np.ndarray]) -> List[str]:
+        out: List[Optional[str]] = [None] * len(features)
+        groups: dict = {}
+        for i, f in enumerate(features):
+            f = np.asarray(f, np.float32)
+            groups.setdefault(id(self._route(f.shape[0])), []).append((i, f))
+        by_id = {id(d): d for d in self.buckets}
+        for key, items in groups.items():
+            dec = by_id[key]
+            bsz = dec.meta["batch"]
+            for start in range(0, len(items), bsz):
+                chunk = items[start:start + bsz]
+                texts = dec.transcribe([f for _, f in chunk])
+                for (i, _), text in zip(chunk, texts):
+                    out[i] = text
+        assert all(t is not None for t in out)
+        if self.corrector is not None:
+            out = self.corrector.correct(out, margin=self.margin)
+        return out  # type: ignore[return-value]
+
+
 def export_from_experiment(
     exp_folder: str,
     out_path: str,

@@ -211,6 +211,46 @@ def test_corrector_export_matches_serving_corrector(tmp_path):
                      "--t-pad", "32", "--platforms", "cpu", "--check"]) == 0
 
 
+def test_artifact_transcriber_routes_by_length(tmp_path):
+    """Multi-bucket artifact serving: each utterance runs on the smallest
+    exported bucket that fits, results come back in request order."""
+    from attention_based_e2e_asr_dnn_tpu.export import ArtifactTranscriber
+
+    params = las_init(jax.random.PRNGKey(7), CFG)
+    paths = []
+    for tp in (32, 16):  # deliberately unsorted
+        art = export_las_decoder(
+            params, CFG, 2, tp, vocab=constants.VOCAB,
+            sos_idx=constants.SOS_IDX, eos_idx=constants.EOS_IDX,
+            pad_idx=constants.PAD_IDX, platforms=("cpu",))
+        p = str(tmp_path / f"las-{tp}.tlas")
+        save_artifact(p, art)
+        paths.append(p)
+    at = ArtifactTranscriber(paths)
+    assert [d.meta["t_pad"] for d in at.buckets] == [16, 32]
+    at.warmup()
+
+    rng = np.random.default_rng(5)
+    lens = [10, 25, 7, 30, 12]  # 3 -> bucket 16 (2 chunks), 2 -> bucket 32
+    feats = [rng.standard_normal((n, 15)).astype(np.float32) for n in lens]
+    got = at.transcribe(feats)
+
+    by_pad = {d.meta["t_pad"]: d for d in at.buckets}
+    want = [None] * len(feats)
+    for pad in (16, 32):
+        idx = [i for i, n in enumerate(lens)
+               if (n <= 16) == (pad == 16)]
+        for s in range(0, len(idx), 2):
+            chunk = idx[s:s + 2]
+            texts = by_pad[pad].transcribe([feats[i] for i in chunk])
+            for i, t in zip(chunk, texts):
+                want[i] = t
+    assert got == want
+
+    with pytest.raises(ValueError, match="largest exported bucket"):
+        at.transcribe([np.zeros((40, 15), np.float32)])
+
+
 def test_corrector_kind_guard_on_las_artifact(artifact_path):
     from attention_based_e2e_asr_dnn_tpu.export import ExportedCorrector
 

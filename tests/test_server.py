@@ -175,6 +175,41 @@ def test_body_size_cap(http_server):
         server.max_body_bytes = old
 
 
+def test_http_serving_from_artifact(tmp_path):
+    """The HTTP endpoint runs over exported artifacts (model-code-free
+    serving host): same API, transcripts equal the artifact's own."""
+    from attention_based_e2e_asr_dnn_tpu.export import (
+        ArtifactTranscriber,
+        export_las_decoder,
+        save_artifact,
+    )
+    from attention_based_e2e_asr_dnn_tpu.models.las import las_init
+
+    params = las_init(jax.random.PRNGKey(3), CFG)
+    art = export_las_decoder(
+        params, CFG, 2, 32, vocab=constants.VOCAB,
+        sos_idx=constants.SOS_IDX, eos_idx=constants.EOS_IDX,
+        pad_idx=constants.PAD_IDX, platforms=("cpu",))
+    p = str(tmp_path / "las.tlas")
+    save_artifact(p, art)
+    at = ArtifactTranscriber([p])
+    server = AsrHttpServer(at, port=0, max_wait_ms=5.0).start()
+    try:
+        base = f"http://127.0.0.1:{server.port}"
+        assert _get(f"{base}/readyz")[0] == 200
+        rng = np.random.default_rng(2)
+        feats = [rng.standard_normal((n, 15)).astype(np.float32)
+                 for n in (20, 9)]
+        want = at.transcribe(feats)
+        code, body = _post(f"{base}/v1/transcribe", {
+            "instances": [{"features": f.tolist()} for f in feats]})
+        assert code == 200 and body["transcripts"] == want
+        code, meta = _get(f"{base}/v1/meta")
+        assert meta["input_dim"] == 15 and meta["corrector"] is False
+    finally:
+        server.close()
+
+
 def test_readyz_surfaces_warmup_failure(http_server):
     """A dead background warmup must yield a 503 JSON body, not a dropped
     connection."""

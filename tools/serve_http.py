@@ -1,8 +1,12 @@
-"""Serve a trained experiment over HTTP.
+"""Serve a trained experiment — or exported artifacts — over HTTP.
 
     python tools/serve_http.py experiments/<run> --port 8080 \
         [--batch-size 32] [--beam-size 8] [--warmup 256 512 1024 1536] \
         [--corrector lm_experiments/<run>] [--data-parallel N]
+
+    python tools/serve_http.py --artifact las-b8-t256.tlas \
+        --artifact las-b8-t512.tlas [--corrector-artifact corr.tlas] \
+        --port 8080        # model-code-free host: .tlas files only
 
 Gates traffic on readiness when a warmup ladder is given (the first/largest
 bucket compiles before "ready"); POST /v1/transcribe afterwards.
@@ -16,7 +20,12 @@ import sys
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("exp_folder")
+    ap.add_argument("exp_folder", nargs="?", default=None)
+    ap.add_argument("--artifact", action="append", default=None,
+                    help="serve from exported .tlas bucket(s) instead of "
+                         "an experiment folder (repeatable)")
+    ap.add_argument("--corrector-artifact", default=None,
+                    help="rewriter .tlas for gated auto-correction")
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--checkpoint", default=None)
@@ -36,27 +45,44 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     from attention_based_e2e_asr_dnn_tpu.server import AsrHttpServer
-    from attention_based_e2e_asr_dnn_tpu.serving import (
-        Corrector,
-        Transcriber,
-    )
 
-    corrector = None
-    if args.corrector:
-        corrector = Corrector(args.corrector,
-                              confidence_margin=args.corrector_margin)
+    if bool(args.exp_folder) == bool(args.artifact):
+        ap.error("give exactly one of: an experiment folder, or --artifact")
 
-    transcriber = Transcriber(
-        args.exp_folder,
-        checkpoint=args.checkpoint,
-        average=args.average,
-        beam_size=args.beam_size,
-        batch_size=args.batch_size,
-        pad_time_multiple=args.pad_time_multiple,
-        auto_warmup=args.warmup,
-        data_parallel=args.data_parallel,
-        corrector=corrector,
-    )
+    if args.artifact:
+        from attention_based_e2e_asr_dnn_tpu.export import (
+            ArtifactTranscriber,
+            ExportedCorrector,
+        )
+
+        corrector = (ExportedCorrector(args.corrector_artifact)
+                     if args.corrector_artifact else None)
+        transcriber = ArtifactTranscriber(
+            args.artifact, corrector=corrector,
+            margin=args.corrector_margin)
+        if args.warmup is not None:
+            transcriber.warmup()
+    else:
+        from attention_based_e2e_asr_dnn_tpu.serving import (
+            Corrector,
+            Transcriber,
+        )
+
+        corrector = None
+        if args.corrector:
+            corrector = Corrector(args.corrector,
+                                  confidence_margin=args.corrector_margin)
+        transcriber = Transcriber(
+            args.exp_folder,
+            checkpoint=args.checkpoint,
+            average=args.average,
+            beam_size=args.beam_size,
+            batch_size=args.batch_size,
+            pad_time_multiple=args.pad_time_multiple,
+            auto_warmup=args.warmup,
+            data_parallel=args.data_parallel,
+            corrector=corrector,
+        )
     # bind FIRST: /healthz answers during warmup and /readyz gates traffic
     # (a readiness probe that can't connect looks like a dead pod)
     server = AsrHttpServer(transcriber, host=args.host, port=args.port,
