@@ -368,16 +368,29 @@ class ExportedCorrector(ExportedDecoder):
             "rewriter artifacts correct TEXT — use .correct(texts); "
             ".transcribe() is the LAS ExportedDecoder API")
 
-    def correct(self, texts: Sequence[str], margin: float = 0.0) -> List[str]:
+    def correct(self, texts: Sequence[str], margin: float = 0.0,
+                on_overflow: str = "raise") -> List[str]:
+        """``on_overflow``: what to do with a text longer than the exported
+        width — "raise" (direct-API default) or "passthrough" (keep the
+        input uncorrected; what the serving chain wants, since skipping a
+        correction is always never-worse)."""
+        if on_overflow not in ("raise", "passthrough"):
+            raise ValueError(f"on_overflow={on_overflow!r}")
         m = self.meta
         vm = {c: i for i, c in enumerate(m["vocab"])}
         sos, eos = m["sos_idx"], m["eos_idx"]
         B, W = m["batch"], m["t_pad"]
-        ids = [[sos] + [vm[c] for c in t if c in vm] + [eos] for t in texts]
-        for i, row in enumerate(ids):
+        ids = []
+        passthrough: set = set()
+        for i, t in enumerate(texts):
+            row = [sos] + [vm[c] for c in t if c in vm] + [eos]
             if len(row) > W:
-                raise ValueError(
-                    f"text {i}: {len(row)} ids > exported t_pad {W}")
+                if on_overflow == "raise":
+                    raise ValueError(
+                        f"text {i}: {len(row)} ids > exported t_pad {W}")
+                passthrough.add(i)
+                row = [sos, eos]  # dummy; result discarded
+            ids.append(row)
         out: List[str] = [""] * len(texts)
         for start in range(0, len(texts), B):
             rows = ids[start:start + B]
@@ -406,6 +419,9 @@ class ExportedCorrector(ExportedDecoder):
                     self.params, x_gate, lx, dec, eos, sos,
                     margin=margin)
             for r in range(len(rows)):
+                if start + r in passthrough:
+                    out[start + r] = texts[start + r]
+                    continue
                 rewrite = self._detok(dec[r])
                 keep = bool(use[r]) if self._scorer is not None else True
                 out[start + r] = rewrite if keep else texts[start + r]
@@ -437,26 +453,74 @@ class ArtifactTranscriber:
         dims = {d.meta["input_dim"] for d in self.buckets}
         if len(dims) != 1:
             raise ValueError(f"artifacts disagree on input_dim: {dims}")
+        # mixing buckets exported from DIFFERENT models would transcribe
+        # utterances with whichever checkpoint their length routes to —
+        # require a consistent vocabulary contract up front
+        contracts = {(tuple(d.meta["vocab"]), d.meta["sos_idx"],
+                      d.meta["eos_idx"], d.meta["pad_idx"])
+                     for d in self.buckets}
+        if len(contracts) != 1:
+            raise ValueError(
+                "artifacts disagree on vocab/special ids — they were "
+                "exported from different models")
         self.corrector = corrector
         self.margin = margin
         self.n_feats = self.buckets[0].meta["input_dim"]
         self.vocab = self.buckets[0].meta["vocab"]
         self.batch_size = max(d.meta["batch"] for d in self.buckets)
-        self.pad_time_multiple = self.buckets[0].meta["t_pad"]
+        self.bucket_t_pads = [d.meta["t_pad"] for d in self.buckets]
+        # hard capacity: unlike the in-process Transcriber (which pads any
+        # length), exported buckets cap the input — surfaced so the HTTP
+        # layer can 400 over-long requests instead of 500ing a whole batch
+        self.max_frames = self.bucket_t_pads[-1]
+        self.pad_time_multiple = None  # no rounding granularity here —
+        # clients should read bucket_t_pads / max_frames instead
+        import threading
+
+        self._warmup_thread: Optional[threading.Thread] = None
+        self._ready_evt = threading.Event()
+        self._warmup_error: Optional[BaseException] = None
 
     def wait_ready(self, timeout: Optional[float] = None) -> bool:
-        return True  # artifacts are precompiled programs; XLA-compile of
-        # the deserialized module happens lazily on first call per bucket
+        """True once warmup (if started) has compiled every bucket; True
+        immediately when no warmup was requested — same contract as
+        serving.Transcriber.wait_ready."""
+        if self._warmup_thread is None:
+            return True
+        got = self._ready_evt.wait(timeout)
+        if self._warmup_error is not None:
+            raise RuntimeError(
+                "artifact warmup failed") from self._warmup_error
+        return got
 
-    def warmup(self) -> None:
+    def warmup(self, background: bool = False):
         """Run one dummy batch through every bucket so first requests do
-        not pay the deserialize/compile cost."""
-        for d in self.buckets:
-            m = d.meta
-            d.decode_ids(
-                np.zeros((m["batch"], m["t_pad"], m["input_dim"]),
-                         np.float32),
-                np.ones((m["batch"],), np.int32))
+        not pay the deserialize/compile cost. ``background=True`` returns
+        immediately; gate traffic with ``wait_ready`` (/readyz)."""
+        import threading
+
+        def _run():
+            try:
+                for d in self.buckets:
+                    m = d.meta
+                    d.decode_ids(
+                        np.zeros((m["batch"], m["t_pad"], m["input_dim"]),
+                                 np.float32),
+                        np.ones((m["batch"],), np.int32))
+            except BaseException as exc:  # surfaced via wait_ready
+                self._warmup_error = exc
+            finally:
+                self._ready_evt.set()
+
+        if background:
+            self._warmup_thread = threading.Thread(target=_run, daemon=True)
+            self._warmup_thread.start()
+            return self._warmup_thread
+        self._warmup_thread = threading.current_thread()
+        _run()
+        if self._warmup_error is not None:
+            raise RuntimeError(
+                "artifact warmup failed") from self._warmup_error
 
     def _route(self, n_frames: int) -> "ExportedDecoder":
         for d in self.buckets:
@@ -471,10 +535,8 @@ class ArtifactTranscriber:
         groups: dict = {}
         for i, f in enumerate(features):
             f = np.asarray(f, np.float32)
-            groups.setdefault(id(self._route(f.shape[0])), []).append((i, f))
-        by_id = {id(d): d for d in self.buckets}
-        for key, items in groups.items():
-            dec = by_id[key]
+            groups.setdefault(self._route(f.shape[0]), []).append((i, f))
+        for dec, items in groups.items():
             bsz = dec.meta["batch"]
             for start in range(0, len(items), bsz):
                 chunk = items[start:start + bsz]
@@ -483,7 +545,11 @@ class ArtifactTranscriber:
                     out[i] = text
         assert all(t is not None for t in out)
         if self.corrector is not None:
-            out = self.corrector.correct(out, margin=self.margin)
+            # a transcript too long for the corrector's exported width
+            # keeps its uncorrected text (never-worse), rather than
+            # failing the whole batch like a raise would
+            out = self.corrector.correct(out, margin=self.margin,
+                                         on_overflow="passthrough")
         return out  # type: ignore[return-value]
 
 

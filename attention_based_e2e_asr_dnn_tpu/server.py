@@ -85,13 +85,18 @@ class AsrHttpServer:
                     self._send(200 if ready else 503, {"ready": ready})
                 elif self.path == "/v1/meta":
                     t = server.transcriber
-                    self._send(200, {
+                    meta = {
                         "input_dim": t.n_feats,
                         "batch_size": t.batch_size,
                         "pad_time_multiple": t.pad_time_multiple,
                         "vocab_size": len(t.vocab),
                         "corrector": t.corrector is not None,
-                    })
+                        # artifact serving has a HARD frame cap (largest
+                        # exported bucket); null = any length accepted
+                        "max_frames": getattr(t, "max_frames", None),
+                        "buckets": getattr(t, "bucket_t_pads", None),
+                    }
+                    self._send(200, meta)
                 else:
                     self._send(404, {"error": f"no route {self.path}"})
 
@@ -147,6 +152,13 @@ class AsrHttpServer:
             raise _BadRequest(
                 400, f"{where}: feature dim {arr.shape[1]} != model "
                      f"input_dim {self.transcriber.n_feats}")
+        cap = getattr(self.transcriber, "max_frames", None)
+        if cap is not None and arr.shape[0] > cap:
+            # reject BEFORE batching: raising inside the shared streaming
+            # batch would 500 every co-batched request
+            raise _BadRequest(
+                400, f"{where}: {arr.shape[0]} frames > server capacity "
+                     f"{cap} (largest exported bucket)")
         return arr
 
     def _transcribe_request(self, req):

@@ -193,6 +193,16 @@ def test_corrector_export_matches_serving_corrector(tmp_path):
     # huge margin -> gate keeps nothing, inputs pass through unchanged
     assert dec.correct(texts, margin=1e9) == texts
 
+    # over-width text: raise by default, pass through (never-worse) when
+    # asked — short co-batched texts still get corrected normally
+    long_text = "A" * 40  # 42 ids > t_pad 32
+    with pytest.raises(ValueError, match="exported t_pad"):
+        dec.correct([long_text])
+    mixed = dec.correct([long_text, "HELLO WORLD"],
+                        on_overflow="passthrough")
+    assert mixed[0] == long_text
+    assert mixed[1] == want[0]  # same as the batched run above
+
     # kind guards both ways
     with pytest.raises(ValueError, match="kind"):
         ExportedDecoder(out)
@@ -249,6 +259,22 @@ def test_artifact_transcriber_routes_by_length(tmp_path):
 
     with pytest.raises(ValueError, match="largest exported bucket"):
         at.transcribe([np.zeros((40, 15), np.float32)])
+    assert at.max_frames == 32 and at.bucket_t_pads == [16, 32]
+
+    # background warmup + readiness gate (Transcriber.wait_ready contract)
+    at2 = ArtifactTranscriber(paths)
+    at2.warmup(background=True)
+    assert at2.wait_ready(timeout=60.0)
+
+    # buckets exported from different models are rejected at startup
+    other = export_las_decoder(
+        params, CFG, 2, 16, vocab=list(constants.VOCAB)[::-1],
+        sos_idx=constants.SOS_IDX, eos_idx=constants.EOS_IDX,
+        pad_idx=constants.PAD_IDX, platforms=("cpu",))
+    p_other = str(tmp_path / "other.tlas")
+    save_artifact(p_other, other)
+    with pytest.raises(ValueError, match="different models"):
+        ArtifactTranscriber([paths[0], p_other])
 
 
 def test_corrector_kind_guard_on_las_artifact(artifact_path):

@@ -206,6 +206,12 @@ def test_http_serving_from_artifact(tmp_path):
         assert code == 200 and body["transcripts"] == want
         code, meta = _get(f"{base}/v1/meta")
         assert meta["input_dim"] == 15 and meta["corrector"] is False
+        assert meta["max_frames"] == 32 and meta["buckets"] == [32]
+        # over-capacity requests 400 BEFORE batching (a raise inside the
+        # shared batch would 500 innocent co-batched requests)
+        code, body = _post(f"{base}/v1/transcribe",
+                           {"features": [[0.0] * 15] * 40})
+        assert code == 400 and "capacity" in body["error"]
     finally:
         server.close()
 

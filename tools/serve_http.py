@@ -50,6 +50,23 @@ def main(argv=None) -> int:
         ap.error("give exactly one of: an experiment folder, or --artifact")
 
     if args.artifact:
+        # reject experiment-only flags instead of silently ignoring them —
+        # an operator passing --corrector here would otherwise serve with
+        # NO correction gate and no warning
+        ignored = [flag for flag, val in [
+            ("--corrector", args.corrector),
+            ("--checkpoint", args.checkpoint),
+            ("--average", args.average or None),
+            ("--beam-size", args.beam_size or None),
+            ("--data-parallel",
+             args.data_parallel if args.data_parallel != 1 else None),
+        ] if val]
+        if ignored:
+            ap.error(f"{', '.join(ignored)} appl{'y' if len(ignored) > 1 else 'ies'} "
+                     f"to experiment-folder serving, not --artifact mode "
+                     f"(use --corrector-artifact for artifact correction; "
+                     f"beam/checkpoint choices are baked in at export time)")
+
         from attention_based_e2e_asr_dnn_tpu.export import (
             ArtifactTranscriber,
             ExportedCorrector,
@@ -61,8 +78,12 @@ def main(argv=None) -> int:
             args.artifact, corrector=corrector,
             margin=args.corrector_margin)
         if args.warmup is not None:
-            transcriber.warmup()
+            # background: the HTTP server binds first; /readyz gates
+            transcriber.warmup(background=True)
     else:
+        if args.corrector_artifact:
+            ap.error("--corrector-artifact applies to --artifact mode; "
+                     "use --corrector <lm_experiment> here")
         from attention_based_e2e_asr_dnn_tpu.serving import (
             Corrector,
             Transcriber,
