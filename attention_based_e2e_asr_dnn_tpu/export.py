@@ -39,6 +39,20 @@ from attention_based_e2e_asr_dnn_tpu.training.checkpoints import (
 _FORMAT = "tpu-las-export-v1"
 
 
+def _dp_shardings(n: int):
+    """(replicated, batch-sharded) NamedShardings over an n-device 'dp'
+    mesh built from the first n local devices."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    devs = jax.devices()
+    if len(devs) < n:
+        raise ValueError(
+            f"data_parallel={n} but only {len(devs)} devices visible")
+    mesh = Mesh(np.array(devs[:n]), ("dp",))
+    return (NamedSharding(mesh, PartitionSpec()),
+            NamedSharding(mesh, PartitionSpec("dp")))
+
+
 def export_las_decoder(
     params,
     las_cfg,
@@ -53,16 +67,27 @@ def export_las_decoder(
     beam_size: int = 0,
     length_alpha: float = 0.0,
     max_len_factor: float = 3.0,
+    data_parallel: int = 1,
     platforms: Sequence[str] = ("tpu", "cpu"),
 ) -> dict:
     """Build the artifact dict for one (batch, t_pad) decode bucket.
 
     ``beam_size > 1`` exports the beam path; else early-stop greedy. The
     exported callable signature is the serving step's ``(params, x, lx)``.
+
+    ``data_parallel > 1`` exports the program SHARDED over an N-device
+    'dp' mesh (params replicated, batch split — serving.Transcriber's
+    data_parallel layout): the artifact then requires N devices at run
+    time and decodes its bucket N-way in one dispatch.
     """
     import jax.numpy as jnp
     from jax import export as jexport
 
+    if beam_size > 1 and data_parallel > 1:
+        raise NotImplementedError(
+            "data_parallel export currently covers the greedy path; "
+            "beam artifacts are single-device (shard across processes "
+            "instead)")
     if beam_size > 1:
         # The beam path is scan (device) + backpointer walk (host numpy):
         # export the jitted scan; ExportedDecoder finishes with the SAME
@@ -96,11 +121,29 @@ def export_las_decoder(
         )
 
     params = jax.tree.map(np.asarray, params)
-    p_spec = jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)
-    x_spec = jax.ShapeDtypeStruct(
-        (batch, t_pad, las_cfg.listener.input_dim), np.float32)
-    lx_spec = jax.ShapeDtypeStruct((batch,), np.int32)
+    if data_parallel > 1:
+        if batch % data_parallel:
+            raise ValueError(f"batch {batch} not divisible by "
+                             f"data_parallel {data_parallel}")
+        rep, shard = _dp_shardings(data_parallel)
+        step = jax.jit(
+            step,
+            in_shardings=(jax.tree.map(lambda _: rep, params), shard,
+                          shard),
+            out_shardings=shard)
+        p_spec = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=rep),
+            params)
+        x_spec = jax.ShapeDtypeStruct(
+            (batch, t_pad, las_cfg.listener.input_dim), np.float32,
+            sharding=shard)
+        lx_spec = jax.ShapeDtypeStruct((batch,), np.int32, sharding=shard)
+    else:
+        p_spec = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)
+        x_spec = jax.ShapeDtypeStruct(
+            (batch, t_pad, las_cfg.listener.input_dim), np.float32)
+        lx_spec = jax.ShapeDtypeStruct((batch,), np.int32)
     exported = jexport.export(step, platforms=list(platforms))(
         p_spec, x_spec, lx_spec)
 
@@ -118,6 +161,7 @@ def export_las_decoder(
         "beam_size": int(beam_size),
         "length_alpha": float(length_alpha),
         "max_steps": int(las_cfg.speller.CHR_MAX_STEPS),
+        "data_parallel": int(data_parallel),
         "platforms": list(platforms),
     }
     return {"meta": meta, "params": params, "mlir": exported.serialize()}
@@ -291,9 +335,17 @@ class ExportedDecoder:
             self._scorer_mlir = (bytes(z["__mlir_scorer__"])
                                  if "__mlir_scorer__" in z.files else None)
         self._exported = jexport.deserialize(mlir)
+        self._dp_shard = None  # lazily built for data_parallel artifacts
 
     def decode_ids(self, x: np.ndarray, lx: np.ndarray) -> np.ndarray:
         """(batch, t_pad, input_dim) float32, (batch,) int32 -> int32 ids."""
+        if self.meta.get("data_parallel", 1) > 1:
+            if self._dp_shard is None:
+                rep, self._dp_shard = _dp_shardings(
+                    self.meta["data_parallel"])
+                self.params = jax.device_put(self.params, rep)
+            x = jax.device_put(np.asarray(x), self._dp_shard)
+            lx = jax.device_put(np.asarray(lx), self._dp_shard)
         out = self._exported.call(self.params, x, lx)
         if self.meta.get("beam_size", 0) > 1:
             from attention_based_e2e_asr_dnn_tpu.decoding.select import (
@@ -563,6 +615,7 @@ def export_from_experiment(
     beam_size: int = 0,
     length_alpha: float = 0.0,
     max_len_factor: float = 3.0,
+    data_parallel: int = 1,
     platforms: Sequence[str] = ("tpu", "cpu"),
 ) -> str:
     """config.json + best/averaged checkpoint -> one ``.tlas`` artifact.
@@ -586,7 +639,8 @@ def export_from_experiment(
         pad_idx=getattr(snap, "PAD_IDX", snap.EOS_IDX),
         compute_dtype=getattr(snap, "compute_dtype", "float32"),
         beam_size=beam_size, length_alpha=length_alpha,
-        max_len_factor=max_len_factor, platforms=platforms,
+        max_len_factor=max_len_factor, data_parallel=data_parallel,
+        platforms=platforms,
     )
     return save_artifact(out_path, artifact)
 

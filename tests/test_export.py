@@ -221,6 +221,40 @@ def test_corrector_export_matches_serving_corrector(tmp_path):
                      "--t-pad", "32", "--platforms", "cpu", "--check"]) == 0
 
 
+def test_data_parallel_export_matches_single_device(tmp_path):
+    """A dp=2-sharded artifact (params replicated, batch split over a
+    2-device mesh — serving's data_parallel layout) decodes identically
+    to the single-device artifact. Runs on the conftest-forced 8-CPU
+    virtual mesh, validating the multi-chip serving-artifact path without
+    TPU hardware."""
+    from attention_based_e2e_asr_dnn_tpu.export import ExportedDecoder
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the forced multi-device CPU mesh")
+    params = las_init(jax.random.PRNGKey(0), CFG)
+    common = dict(vocab=constants.VOCAB, sos_idx=constants.SOS_IDX,
+                  eos_idx=constants.EOS_IDX, pad_idx=constants.PAD_IDX,
+                  platforms=("cpu",))
+    p1 = str(tmp_path / "dp1.tlas")
+    p2 = str(tmp_path / "dp2.tlas")
+    save_artifact(p1, export_las_decoder(params, CFG, BATCH, T_PAD,
+                                         **common))
+    save_artifact(p2, export_las_decoder(params, CFG, BATCH, T_PAD,
+                                         data_parallel=2, **common))
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((BATCH, T_PAD, 15)).astype(np.float32)
+    lx = np.array([32, 20, 9, 4], np.int32)
+    d2 = ExportedDecoder(p2)
+    assert d2.meta["data_parallel"] == 2
+    got = d2.decode_ids(x, lx)
+    want = ExportedDecoder(p1).decode_ids(x, lx)
+    np.testing.assert_array_equal(got, want)
+    # beam + dp is explicitly out of scope
+    with pytest.raises(NotImplementedError, match="greedy"):
+        export_las_decoder(params, CFG, BATCH, T_PAD, beam_size=2,
+                           data_parallel=2, **common)
+
+
 def test_artifact_transcriber_routes_by_length(tmp_path):
     """Multi-bucket artifact serving: each utterance runs on the smallest
     exported bucket that fits, results come back in request order."""

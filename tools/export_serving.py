@@ -30,6 +30,9 @@ def main(argv=None) -> int:
     ap.add_argument("--max-len-factor", type=float, default=3.0)
     ap.add_argument("--no-gate", action="store_true",
                     help="rewriter only: skip the never-worse scorer")
+    ap.add_argument("--data-parallel", type=int, default=1,
+                    help="las greedy only: export sharded over an N-device "
+                         "dp mesh (requires N devices wherever it runs)")
     ap.add_argument("--platforms", nargs="+", default=["tpu", "cpu"])
     ap.add_argument("--check", action="store_true")
     args = ap.parse_args(argv)
@@ -75,7 +78,8 @@ def main(argv=None) -> int:
         args.exp_folder, args.output, batch=args.batch, t_pad=args.t_pad,
         checkpoint=args.checkpoint, average=args.average,
         beam_size=args.beam_size, length_alpha=args.length_alpha,
-        max_len_factor=args.max_len_factor, platforms=tuple(args.platforms),
+        max_len_factor=args.max_len_factor,
+        data_parallel=args.data_parallel, platforms=tuple(args.platforms),
     )
     print(f"exported -> {path} ({os.path.getsize(path) / 1e6:.1f} MB)")
 
