@@ -39,6 +39,83 @@ from attention_based_e2e_asr_dnn_tpu.serving import (
 _MAX_INSTANCES = 256  # per request; the streaming queue re-batches anyway
 
 
+class _Metrics:
+    """Thread-safe request metrics, rendered in Prometheus text format at
+    GET /metrics. Tracks the transcribe POST path: per-status request
+    counts, utterance throughput, an end-to-end latency histogram (covers
+    queueing + batching + decode), and in-flight gauge."""
+
+    BUCKETS = (0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0)
+
+    def __init__(self):
+        import threading as _threading
+
+        self._lock = _threading.Lock()
+        self.requests_by_status: dict = {}
+        self.utterances = 0
+        self.lat_sum = 0.0
+        self.lat_count = 0
+        self.lat_buckets = [0] * len(self.BUCKETS)
+        self.in_flight = 0
+
+    def observe(self, status: int, n_utts: int, seconds: float) -> None:
+        with self._lock:
+            self.requests_by_status[status] = (
+                self.requests_by_status.get(status, 0) + 1)
+            self.utterances += n_utts
+            self.lat_sum += seconds
+            self.lat_count += 1
+            for i, edge in enumerate(self.BUCKETS):
+                if seconds <= edge:
+                    self.lat_buckets[i] += 1
+
+    def track_in_flight(self):
+        metrics = self
+
+        class _Flight:
+            def __enter__(self):
+                with metrics._lock:
+                    metrics.in_flight += 1
+
+            def __exit__(self, *exc):
+                with metrics._lock:
+                    metrics.in_flight -= 1
+                return False
+
+        return _Flight()
+
+    def render(self) -> str:
+        with self._lock:
+            lines = [
+                "# HELP asr_requests_total transcribe requests by status",
+                "# TYPE asr_requests_total counter",
+            ]
+            for status in sorted(self.requests_by_status):
+                lines.append(
+                    f'asr_requests_total{{status="{status}"}} '
+                    f"{self.requests_by_status[status]}")
+            lines += [
+                "# HELP asr_utterances_total utterances transcribed",
+                "# TYPE asr_utterances_total counter",
+                f"asr_utterances_total {self.utterances}",
+                "# HELP asr_request_seconds end-to-end request latency",
+                "# TYPE asr_request_seconds histogram",
+            ]
+            for edge, count in zip(self.BUCKETS, self.lat_buckets):
+                lines.append(
+                    f'asr_request_seconds_bucket{{le="{edge}"}} {count}')
+            lines += [
+                f'asr_request_seconds_bucket{{le="+Inf"}} {self.lat_count}',
+                f"asr_request_seconds_sum {self.lat_sum:.6f}",
+                f"asr_request_seconds_count {self.lat_count}",
+                "# HELP asr_in_flight transcribe requests currently "
+                "being handled",
+                "# TYPE asr_in_flight gauge",
+                f"asr_in_flight {self.in_flight}",
+            ]
+        return "\n".join(lines) + "\n"
+
+
 class AsrHttpServer:
     """HTTP front end over a Transcriber. ``port=0`` picks a free port
     (recorded in ``self.port``). Use ``start()`` for a background thread or
@@ -56,6 +133,7 @@ class AsrHttpServer:
         self.transcriber = transcriber
         self.streaming = StreamingTranscriber(transcriber,
                                               max_wait_ms=max_wait_ms)
+        self.metrics = _Metrics()
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -97,36 +175,49 @@ class AsrHttpServer:
                         "buckets": getattr(t, "bucket_t_pads", None),
                     }
                     self._send(200, meta)
+                elif self.path == "/metrics":
+                    body = server.metrics.render().encode("utf-8")
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/plain; version=0.0.4")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                 else:
                     self._send(404, {"error": f"no route {self.path}"})
 
             def do_POST(self):
+                import time as _time
+
+                t0 = _time.monotonic()
+                with server.metrics.track_in_flight():
+                    code, payload, n_utts = self._handle_post()
+                self._send(code, payload)
+                server.metrics.observe(code, n_utts,
+                                       _time.monotonic() - t0)
+
+            def _handle_post(self):
                 if self.path != "/v1/transcribe":
-                    self._send(404, {"error": f"no route {self.path}"})
-                    return
+                    return 404, {"error": f"no route {self.path}"}, 0
                 try:
                     length = int(self.headers.get("Content-Length", 0))
                     if length > server.max_body_bytes:
-                        self._send(413, {
+                        return 413, {
                             "error": f"body {length} bytes > limit "
-                                     f"{server.max_body_bytes}"})
-                        return
+                                     f"{server.max_body_bytes}"}, 0
                     req = json.loads(self.rfile.read(length))
                 except (ValueError, json.JSONDecodeError) as exc:
-                    self._send(400, {"error": f"bad JSON: {exc}"})
-                    return
+                    return 400, {"error": f"bad JSON: {exc}"}, 0
                 try:
                     texts, single = server._transcribe_request(req)
                 except _BadRequest as exc:
-                    self._send(exc.code, {"error": str(exc)})
-                    return
+                    return exc.code, {"error": str(exc)}, 0
                 except Exception as exc:  # decode failure -> 500
-                    self._send(500, {"error": f"{type(exc).__name__}: {exc}"})
-                    return
+                    return 500, {
+                        "error": f"{type(exc).__name__}: {exc}"}, 0
                 if single:
-                    self._send(200, {"transcript": texts[0]})
-                else:
-                    self._send(200, {"transcripts": texts})
+                    return 200, {"transcript": texts[0]}, 1
+                return 200, {"transcripts": texts}, len(texts)
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.host = host

@@ -207,6 +207,51 @@ def test_imported_rewriter_full_forward_runs():
     assert bool(jnp.all(jnp.isfinite(out.logits)))
 
 
+def test_unidirectional_and_deep_stack_import():
+    """Importer infers layer count and directionality from the keys alone:
+    a 3-layer unidirectional base stack (no `_reverse` keys) maps onto the
+    flat (non fwd/bwd) layer dicts and matches torch's forward."""
+    torch.manual_seed(2)
+    sd = {}
+    in_d = IDIM
+    for i in range(3):
+        _add(sd, f"enc_lstm.lstms.{i}",
+             torch.nn.LSTM(in_d, HID, batch_first=True,
+                           bidirectional=False))
+        in_d = HID
+    layers = compat._stack_in(sd, "enc_lstm.lstms.{}")
+    assert len(layers) == 3
+    assert all("fwd" not in l and "w_ih" in l for l in layers)
+    assert layers[0]["w_ih"].shape == (IDIM, 4 * HID)
+    assert layers[1]["w_ih"].shape == (HID, 4 * HID)
+
+    from torch.nn.utils.rnn import pack_padded_sequence, pad_packed_sequence
+
+    rng = np.random.default_rng(4)
+    B, T = 2, 9
+    x = rng.standard_normal((B, T, IDIM)).astype(np.float32)
+    lengths = np.array([9, 5])
+    h = torch.tensor(x)
+    for i in range(3):
+        m = torch.nn.LSTM(IDIM if i == 0 else HID, HID, batch_first=True)
+        prefix = f"enc_lstm.lstms.{i}."
+        m.load_state_dict({k[len(prefix):]: v for k, v in sd.items()
+                           if k.startswith(prefix)})
+        m.eval()
+        packed = pack_padded_sequence(h, torch.tensor(lengths),
+                                      batch_first=True,
+                                      enforce_sorted=False)
+        with torch.no_grad():
+            out, _ = m(packed)
+        h, _ = pad_packed_sequence(out, batch_first=True, total_length=T)
+    got, _ = locked_lstm_stack_apply(layers, None, jnp.asarray(x),
+                                     jnp.asarray(lengths), 0.0, 0.0,
+                                     False, False)
+    for b in range(B):
+        np.testing.assert_allclose(np.asarray(got)[b, :lengths[b]],
+                                   h.numpy()[b, :lengths[b]], atol=2e-5)
+
+
 def test_round_trip_las_params_exact():
     """ours -> reference naming -> ours is exact (incl. bias re-fold)."""
     params = las_init(jax.random.PRNGKey(3), LAS_CFG)

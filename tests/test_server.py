@@ -163,6 +163,36 @@ def test_error_statuses(http_server):
     assert _post(f"{base}/other", {})[0] == 404
 
 
+def test_metrics_endpoint(http_server):
+    """Prometheus exposition: request counts by status, utterance totals,
+    latency histogram invariants."""
+    server, t = http_server
+    base = f"http://127.0.0.1:{server.port}"
+    rng = np.random.default_rng(7)
+    _post(f"{base}/v1/transcribe", {"instances": [
+        {"features": rng.standard_normal((8, 15)).tolist()}
+        for _ in range(3)]})
+    _post(f"{base}/v1/transcribe", {"nope": 1})  # a 400
+
+    import urllib.request
+    with urllib.request.urlopen(f"{base}/metrics", timeout=30) as resp:
+        assert resp.headers["Content-Type"].startswith("text/plain")
+        text = resp.read().decode()
+    lines = dict()
+    for ln in text.splitlines():
+        if ln and not ln.startswith("#"):
+            k, v = ln.rsplit(" ", 1)
+            lines[k] = float(v)
+    assert lines['asr_requests_total{status="200"}'] >= 1
+    assert lines['asr_requests_total{status="400"}'] >= 1
+    assert lines["asr_utterances_total"] >= 3
+    assert lines["asr_request_seconds_count"] >= 2
+    assert lines["asr_request_seconds_sum"] > 0
+    assert (lines['asr_request_seconds_bucket{le="+Inf"}']
+            == lines["asr_request_seconds_count"])
+    assert lines["asr_in_flight"] == 0
+
+
 def test_body_size_cap(http_server):
     server, _ = http_server
     url = f"http://127.0.0.1:{server.port}/v1/transcribe"
