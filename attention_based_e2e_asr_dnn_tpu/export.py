@@ -336,14 +336,21 @@ class ExportedDecoder:
                                  if "__mlir_scorer__" in z.files else None)
         self._exported = jexport.deserialize(mlir)
         self._dp_shard = None  # lazily built for data_parallel artifacts
+        import threading
+
+        self._dp_lock = threading.Lock()
 
     def decode_ids(self, x: np.ndarray, lx: np.ndarray) -> np.ndarray:
         """(batch, t_pad, input_dim) float32, (batch,) int32 -> int32 ids."""
         if self.meta.get("data_parallel", 1) > 1:
-            if self._dp_shard is None:
-                rep, self._dp_shard = _dp_shardings(
-                    self.meta["data_parallel"])
-                self.params = jax.device_put(self.params, rep)
+            # guarded: warmup thread and streaming worker may race here;
+            # _dp_shard is assigned only AFTER params are placed so a
+            # concurrent reader never calls with unsharded params
+            with self._dp_lock:
+                if self._dp_shard is None:
+                    rep, shard = _dp_shardings(self.meta["data_parallel"])
+                    self.params = jax.device_put(self.params, rep)
+                    self._dp_shard = shard
             x = jax.device_put(np.asarray(x), self._dp_shard)
             lx = jax.device_put(np.asarray(lx), self._dp_shard)
         out = self._exported.call(self.params, x, lx)
@@ -515,6 +522,14 @@ class ArtifactTranscriber:
             raise ValueError(
                 "artifacts disagree on vocab/special ids — they were "
                 "exported from different models")
+        if corrector is not None:
+            cm = corrector.meta
+            if (tuple(cm["vocab"]), cm["sos_idx"], cm["eos_idx"],
+                    cm["pad_idx"]) not in contracts:
+                raise ValueError(
+                    "corrector artifact's vocab/special ids do not match "
+                    "the decode artifacts — it was exported from a "
+                    "different vocabulary")
         self.corrector = corrector
         self.margin = margin
         self.n_feats = self.buckets[0].meta["input_dim"]
@@ -529,6 +544,7 @@ class ArtifactTranscriber:
         # clients should read bucket_t_pads / max_frames instead
         import threading
 
+        self._warmup_lock = threading.Lock()
         self._warmup_thread: Optional[threading.Thread] = None
         self._ready_evt = threading.Event()
         self._warmup_error: Optional[BaseException] = None
@@ -548,7 +564,11 @@ class ArtifactTranscriber:
     def warmup(self, background: bool = False):
         """Run one dummy batch through every bucket so first requests do
         not pay the deserialize/compile cost. ``background=True`` returns
-        immediately; gate traffic with ``wait_ready`` (/readyz)."""
+        immediately; gate traffic with ``wait_ready`` (/readyz).
+
+        Re-invocation retries a failed warmup: state is reset so a
+        transient failure does not poison readiness forever. A warmup
+        already in flight is joined/returned, not duplicated."""
         import threading
 
         def _run():
@@ -564,12 +584,26 @@ class ArtifactTranscriber:
             finally:
                 self._ready_evt.set()
 
+        with self._warmup_lock:
+            live = (self._warmup_thread is not None
+                    and isinstance(self._warmup_thread, threading.Thread)
+                    and self._warmup_thread.is_alive())
+            if not live:
+                self._ready_evt.clear()
+                self._warmup_error = None
+                if background:
+                    self._warmup_thread = threading.Thread(target=_run,
+                                                           daemon=True)
+                    self._warmup_thread.start()
+                else:
+                    self._warmup_thread = threading.current_thread()
+            thread = self._warmup_thread
         if background:
-            self._warmup_thread = threading.Thread(target=_run, daemon=True)
-            self._warmup_thread.start()
-            return self._warmup_thread
-        self._warmup_thread = threading.current_thread()
-        _run()
+            return thread
+        if thread is threading.current_thread():
+            _run()
+        else:  # a background warmup is already running — wait for it
+            self._ready_evt.wait()
         if self._warmup_error is not None:
             raise RuntimeError(
                 "artifact warmup failed") from self._warmup_error

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -48,9 +49,7 @@ class _Metrics:
     BUCKETS = (0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0)
 
     def __init__(self):
-        import threading as _threading
-
-        self._lock = _threading.Lock()
+        self._lock = threading.Lock()
         self.requests_by_status: dict = {}
         self.utterances = 0
         self.lat_sum = 0.0
@@ -68,21 +67,6 @@ class _Metrics:
             for i, edge in enumerate(self.BUCKETS):
                 if seconds <= edge:
                     self.lat_buckets[i] += 1
-
-    def track_in_flight(self):
-        metrics = self
-
-        class _Flight:
-            def __enter__(self):
-                with metrics._lock:
-                    metrics.in_flight += 1
-
-            def __exit__(self, *exc):
-                with metrics._lock:
-                    metrics.in_flight -= 1
-                return False
-
-        return _Flight()
 
     def render(self) -> str:
         with self._lock:
@@ -114,6 +98,22 @@ class _Metrics:
                 f"asr_in_flight {self.in_flight}",
             ]
         return "\n".join(lines) + "\n"
+
+
+class _InFlight:
+    """Context manager bumping the in-flight gauge for one request."""
+
+    def __init__(self, metrics: _Metrics):
+        self._m = metrics
+
+    def __enter__(self):
+        with self._m._lock:
+            self._m.in_flight += 1
+
+    def __exit__(self, *exc):
+        with self._m._lock:
+            self._m.in_flight -= 1
+        return False
 
 
 class AsrHttpServer:
@@ -187,14 +187,15 @@ class AsrHttpServer:
                     self._send(404, {"error": f"no route {self.path}"})
 
             def do_POST(self):
-                import time as _time
-
-                t0 = _time.monotonic()
-                with server.metrics.track_in_flight():
+                t0 = time.monotonic()
+                with _InFlight(server.metrics):
                     code, payload, n_utts = self._handle_post()
+                    # observe BEFORE writing the response: a client that
+                    # hung up makes _send raise, and the slow requests it
+                    # abandons are exactly the ones operators need counted
+                    server.metrics.observe(code, n_utts,
+                                           time.monotonic() - t0)
                 self._send(code, payload)
-                server.metrics.observe(code, n_utts,
-                                       _time.monotonic() - t0)
 
             def _handle_post(self):
                 if self.path != "/v1/transcribe":

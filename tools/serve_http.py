@@ -58,9 +58,16 @@ def main(argv=None) -> int:
             ("--checkpoint", args.checkpoint),
             ("--average", args.average or None),
             ("--beam-size", args.beam_size or None),
+            ("--batch-size",
+             args.batch_size if args.batch_size != 32 else None),
+            ("--pad-time-multiple",
+             args.pad_time_multiple if args.pad_time_multiple != 128
+             else None),
             ("--data-parallel",
              args.data_parallel if args.data_parallel != 1 else None),
         ] if val]
+        if args.warmup:  # values are frame counts for experiment mode only
+            ignored.append("--warmup <values>")
         if ignored:
             ap.error(f"{', '.join(ignored)} appl{'y' if len(ignored) > 1 else 'ies'} "
                      f"to experiment-folder serving, not --artifact mode "
@@ -109,9 +116,9 @@ def main(argv=None) -> int:
     server = AsrHttpServer(transcriber, host=args.host, port=args.port,
                            max_wait_ms=args.max_wait_ms).start()
     print(f"listening on {server.host}:{server.port}"
-          + (" (readiness gated on warmup via /readyz)" if args.warmup
-             else ""), flush=True)
-    if args.warmup:
+          + (" (readiness gated on warmup via /readyz)"
+             if args.warmup is not None else ""), flush=True)
+    if args.warmup is not None:
         import threading
 
         def _announce():
