@@ -17,8 +17,6 @@ requires this always-forced variant (no coins, no dropout, deterministic).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -34,8 +34,6 @@ from attention_based_e2e_asr_dnn_tpu.data.batching import BucketBatcher
 from attention_based_e2e_asr_dnn_tpu.data.datasets import AsrTrainDevDataset, ToyTrainDevDataset
 from attention_based_e2e_asr_dnn_tpu.models.las import (
     LASConfig,
-    ListenerConfig,
-    SpellerConfig,
     las_apply,
     las_config_from_dicts,
     las_init,
