@@ -24,8 +24,12 @@ Layer map (mirrors SURVEY.md §1, rebuilt TPU-first):
                 attention-map plotting, metric logging
   compat        reference-checkpoint interop: torch state_dict <-> our
                 param pytrees (tools/import_reference_ckpt.py CLI)
-  export        deployment export: decode graph -> StableHLO .tlas
-                artifact, model-code-free serving (tools/export_serving.py)
+  export        deployment export: decode graphs -> StableHLO .tlas
+                artifacts, model-code-free + dp-sharded serving
+                (tools/export_serving.py)
+  serving       persistent Transcriber/Corrector + streaming batch queue
+  server        stdlib HTTP endpoint over the streaming queue with
+                health/readiness/metrics (tools/serve_http.py)
 
 Entry points (same CLI surface as the reference):
 
