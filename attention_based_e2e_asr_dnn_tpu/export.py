@@ -435,6 +435,11 @@ class ExportedCorrector(ExportedDecoder):
         correction is always never-worse)."""
         if on_overflow not in ("raise", "passthrough"):
             raise ValueError(f"on_overflow={on_overflow!r}")
+        if margin != 0.0 and self._scorer is None:
+            raise ValueError(
+                "margin set but this artifact was exported with "
+                "gate=False (no scorer program) — every rewrite would be "
+                "applied unconditionally; re-export without --no-gate")
         m = self.meta
         vm = {c: i for i, c in enumerate(m["vocab"])}
         sos, eos = m["sos_idx"], m["eos_idx"]
@@ -530,6 +535,11 @@ class ArtifactTranscriber:
                     "corrector artifact's vocab/special ids do not match "
                     "the decode artifacts — it was exported from a "
                     "different vocabulary")
+            if margin != 0.0 and not cm.get("gate", False):
+                raise ValueError(
+                    "corrector-margin set but the corrector artifact was "
+                    "exported with gate=False (no scorer) — the margin "
+                    "would be silently ignored")
         self.corrector = corrector
         self.margin = margin
         self.n_feats = self.buckets[0].meta["input_dim"]
@@ -545,7 +555,8 @@ class ArtifactTranscriber:
         import threading
 
         self._warmup_lock = threading.Lock()
-        self._warmup_thread: Optional[threading.Thread] = None
+        self._warmup_requested = False
+        self._warmup_bg: Optional[threading.Thread] = None
         self._ready_evt = threading.Event()
         self._warmup_error: Optional[BaseException] = None
 
@@ -553,7 +564,7 @@ class ArtifactTranscriber:
         """True once warmup (if started) has compiled every bucket; True
         immediately when no warmup was requested — same contract as
         serving.Transcriber.wait_ready."""
-        if self._warmup_thread is None:
+        if not self._warmup_requested:
             return True
         got = self._ready_evt.wait(timeout)
         if self._warmup_error is not None:
@@ -562,13 +573,14 @@ class ArtifactTranscriber:
         return got
 
     def warmup(self, background: bool = False):
-        """Run one dummy batch through every bucket so first requests do
-        not pay the deserialize/compile cost. ``background=True`` returns
-        immediately; gate traffic with ``wait_ready`` (/readyz).
+        """Run one dummy batch through every decode bucket AND the attached
+        corrector's programs, so first requests do not pay the
+        deserialize/compile cost. ``background=True`` returns immediately;
+        gate traffic with ``wait_ready`` (/readyz).
 
         Re-invocation retries a failed warmup: state is reset so a
-        transient failure does not poison readiness forever. A warmup
-        already in flight is joined/returned, not duplicated."""
+        transient failure does not poison readiness forever. A background
+        warmup already in flight is returned/joined, not duplicated."""
         import threading
 
         def _run():
@@ -579,28 +591,34 @@ class ArtifactTranscriber:
                         np.zeros((m["batch"], m["t_pad"], m["input_dim"]),
                                  np.float32),
                         np.ones((m["batch"],), np.int32))
+                if self.corrector is not None:
+                    # one dummy correction compiles the rewrite decode AND
+                    # the gate scorer — otherwise /readyz goes 200 while
+                    # the first gated request still stalls on two compiles
+                    self.corrector.correct(["A"], margin=self.margin)
             except BaseException as exc:  # surfaced via wait_ready
                 self._warmup_error = exc
             finally:
                 self._ready_evt.set()
 
         with self._warmup_lock:
-            live = (self._warmup_thread is not None
-                    and isinstance(self._warmup_thread, threading.Thread)
-                    and self._warmup_thread.is_alive())
-            if not live:
+            if self._warmup_bg is not None and self._warmup_bg.is_alive():
+                thread = self._warmup_bg  # in flight — don't duplicate
+                fresh = False
+            else:
                 self._ready_evt.clear()
                 self._warmup_error = None
+                self._warmup_requested = True
+                fresh = True
                 if background:
-                    self._warmup_thread = threading.Thread(target=_run,
-                                                           daemon=True)
-                    self._warmup_thread.start()
+                    self._warmup_bg = thread = threading.Thread(
+                        target=_run, daemon=True)
+                    thread.start()
                 else:
-                    self._warmup_thread = threading.current_thread()
-            thread = self._warmup_thread
+                    thread = None  # run inline below
         if background:
             return thread
-        if thread is threading.current_thread():
+        if fresh:
             _run()
         else:  # a background warmup is already running — wait for it
             self._ready_evt.wait()

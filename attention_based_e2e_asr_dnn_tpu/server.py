@@ -202,6 +202,12 @@ class AsrHttpServer:
                     return 404, {"error": f"no route {self.path}"}, 0
                 try:
                     length = int(self.headers.get("Content-Length", 0))
+                    if length <= 0:
+                        # a NEGATIVE length would make read() block until
+                        # connection close — an unauthenticated thread-
+                        # exhaustion hole; zero/missing is just a bad call
+                        return 400, {"error": "missing or invalid "
+                                              "Content-Length"}, 0
                     if length > server.max_body_bytes:
                         return 413, {
                             "error": f"body {length} bytes > limit "

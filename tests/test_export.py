@@ -300,6 +300,27 @@ def test_artifact_transcriber_routes_by_length(tmp_path):
     at2.warmup(background=True)
     assert at2.wait_ready(timeout=60.0)
 
+    # a transient warmup failure is retryable — state resets, readiness
+    # is not poisoned (sync path included)
+    at3 = ArtifactTranscriber(paths)
+    orig = at3.buckets[0].decode_ids
+    calls = {"n": 0}
+
+    def flaky(x, lx):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("transient device loss")
+        return orig(x, lx)
+
+    at3.buckets[0].decode_ids = flaky
+    with pytest.raises(RuntimeError, match="warmup failed"):
+        at3.warmup()
+    with pytest.raises(RuntimeError, match="warmup failed"):
+        at3.wait_ready(timeout=0)
+    at3.warmup()  # retry succeeds and clears the failure
+    assert at3.wait_ready(timeout=0)
+    at3.buckets[0].decode_ids = orig
+
     # buckets exported from different models are rejected at startup
     other = export_las_decoder(
         params, CFG, 2, 16, vocab=list(constants.VOCAB)[::-1],
@@ -317,6 +338,50 @@ def test_corrector_kind_guard_on_las_artifact(artifact_path):
     path, _ = artifact_path
     with pytest.raises(ValueError, match="kind"):
         ExportedCorrector(path)
+
+
+def test_gateless_corrector_rejects_margin_and_warmup_covers_corrector(
+        tmp_path, artifact_path):
+    """gate=False artifacts must not silently discard a margin, and
+    ArtifactTranscriber's warmup also compiles the corrector programs."""
+    from attention_based_e2e_asr_dnn_tpu.export import (
+        ArtifactTranscriber,
+        ExportedCorrector,
+        export_corrector_from_experiment,
+    )
+    from attention_based_e2e_asr_dnn_tpu.models.rewriter import (
+        RewriterConfig,
+    )
+
+    lm_cfg = RewriterConfig(
+        vocab_size=30, emb_dim=16, enc_lstm_layers=2, enc_lstm_hid_dim=8,
+        att_proj_dim=8, att_heads=2, dec_lstm_hid_dim=12,
+        dec_lstm_out_dim=10, CHR_MAX_STEPS=12)
+    exp = _make_lm_experiment(str(tmp_path / "lm"), lm_cfg)
+    nogate = str(tmp_path / "nogate.tlas")
+    export_corrector_from_experiment(exp, nogate, batch=2, t_pad=32,
+                                     gate=False, platforms=("cpu",))
+    corr = ExportedCorrector(nogate)
+    assert corr.meta["gate"] is False
+    with pytest.raises(ValueError, match="gate=False"):
+        corr.correct(["HELLO"], margin=0.5)
+    corr.correct(["HELLO"], margin=0.0)  # explicit ungated use still works
+
+    las_path, _ = artifact_path
+    with pytest.raises(ValueError, match="gate=False"):
+        ArtifactTranscriber([las_path], corrector=corr, margin=0.5)
+
+    gated = str(tmp_path / "gated.tlas")
+    export_corrector_from_experiment(exp, gated, batch=2, t_pad=32,
+                                     platforms=("cpu",))
+    gcorr = ExportedCorrector(gated)
+    seen = []
+    orig = gcorr.correct
+    gcorr.correct = lambda texts, **kw: (seen.append(texts), orig(texts, **kw))[1]
+    at = ArtifactTranscriber([las_path], corrector=gcorr, margin=0.1)
+    at.warmup()
+    assert seen, "warmup must compile the corrector programs too"
+    assert at.wait_ready(timeout=0)
 
 
 def test_export_from_experiment_and_cli(tmp_path):

@@ -246,6 +246,24 @@ def test_http_serving_from_artifact(tmp_path):
         server.close()
 
 
+def test_negative_content_length_rejected(http_server):
+    """A negative Content-Length must 400 immediately — read(-1) would
+    block the handler thread until the client hangs up (DoS)."""
+    import http.client
+
+    server, _ = http_server
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=15)
+    try:
+        conn.putrequest("POST", "/v1/transcribe")
+        conn.putheader("Content-Length", "-1")
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 400
+        assert b"Content-Length" in resp.read()
+    finally:
+        conn.close()
+
+
 def test_readyz_surfaces_warmup_failure(http_server):
     """A dead background warmup must yield a 503 JSON body, not a dropped
     connection."""

@@ -48,6 +48,10 @@ def main(argv=None) -> int:
 
     if bool(args.exp_folder) == bool(args.artifact):
         ap.error("give exactly one of: an experiment folder, or --artifact")
+    if args.exp_folder and args.warmup == []:
+        ap.error("experiment-mode --warmup needs at least one bucket frame "
+                 "count (e.g. --warmup 512 1024); bare --warmup only means "
+                 "something in --artifact mode, where buckets are baked in")
 
     if args.artifact:
         # reject experiment-only flags instead of silently ignoring them —
