@@ -121,6 +121,29 @@ def test_transcribe_single_and_batch_match_direct(http_server):
     assert code == 200 and body["transcripts"] == want
 
 
+def test_features_b64_wire_format(http_server):
+    """base64 float32 payloads decode to the same transcripts as the JSON
+    list form; malformed/ragged payloads 400."""
+    import base64
+
+    server, t = http_server
+    url = f"http://127.0.0.1:{server.port}/v1/transcribe"
+    rng = np.random.default_rng(3)
+    f = rng.standard_normal((17, 15)).astype(np.float32)
+    _, want = _post(url, {"features": f.tolist()})
+    b64 = base64.b64encode(f.astype("<f4").tobytes()).decode()
+    code, got = _post(url, {"features_b64": b64})
+    assert code == 200 and got == want
+    code, got = _post(url, {"instances": [{"features_b64": b64},
+                                          {"features": f.tolist()}]})
+    assert code == 200 and got["transcripts"] == [want["transcript"]] * 2
+
+    assert _post(url, {"features_b64": "!!!not-base64!!!"})[0] == 400
+    ragged = base64.b64encode(b"\x00" * 61).decode()  # not /60
+    code, body = _post(url, {"features_b64": ragged})
+    assert code == 400 and "float32" in body["error"]
+
+
 def test_concurrent_posts_are_batched_and_ordered(http_server):
     server, t = http_server
     base = f"http://127.0.0.1:{server.port}"
