@@ -285,6 +285,7 @@ def export_rewriter_corrector(
 
 def save_artifact(path: str, artifact: dict) -> str:
     """Write the artifact as one npz: mlir bytes + param leaves + meta."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     leaves: list = []
     skel = _encode_tree(artifact["params"], leaves)
     arrays = {f"p{i}": leaf for i, leaf in enumerate(leaves)}

@@ -316,6 +316,34 @@ def main(args):
     dump_log_json(os.path.join(tgt_folder, "log.json"),
                   trainer.train_history, trainer.dev_history)
     logger.finish()
+
+    # optional: hand serving a deployable artifact straight from training.
+    #   export_artifact: {batch: 8, t_pad: 512, beam_size: 0, average: false}
+    # -> <exp>/artifacts/las-b<batch>-t<t_pad>.tlas from the best (or
+    # averaged) checkpoint. Failures warn, never fail the finished run.
+    exp_cfg = getattr(trncfgs, "export_artifact", None)
+    if exp_cfg:
+        from attention_based_e2e_asr_dnn_tpu.export import (
+            export_from_experiment,
+        )
+
+        try:
+            batch = int(getattr(exp_cfg, "batch", 8))
+            t_pad = int(getattr(exp_cfg, "t_pad", 512))
+            out = os.path.join(tgt_folder, "artifacts",
+                               f"las-b{batch}-t{t_pad}.tlas")
+            export_from_experiment(
+                tgt_folder, out, batch=batch, t_pad=t_pad,
+                average=bool(getattr(exp_cfg, "average", False)),
+                beam_size=int(getattr(exp_cfg, "beam_size", 0)),
+                data_parallel=int(getattr(exp_cfg, "data_parallel", 1)),
+            )
+            print(f"exported serving artifact: {out}")
+        except Exception as exc:
+            import sys
+
+            print(f"WARNING: export_artifact failed: {exc}",
+                  file=sys.stderr)
     return trainer
 
 

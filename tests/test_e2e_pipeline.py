@@ -98,6 +98,8 @@ def _train_config(root, exp_dir):
         "epoch_scheduler": {"use": True},
         "tf_rate_scheduler": {"use": False, "configs": {}},
         "dropout_scheduler": {"use": False, "configs": {}},
+        # deployable artifact straight from training (export.py)
+        "export_artifact": {"batch": 2, "t_pad": 32},
     }
 
 
@@ -130,6 +132,16 @@ def test_train_infer_roundtrip(pipeline_dirs, tmp_path):
     assert any(c.startswith("min-") for c in ckpts)
     imgs = os.listdir(os.path.join(run_dir, "imgs"))
     assert "attention-map-epoch0.png" in imgs
+
+    # config-driven export produced a loadable serving artifact
+    art = os.path.join(run_dir, "artifacts", "las-b2-t32.tlas")
+    assert os.path.exists(art)
+    from attention_based_e2e_asr_dnn_tpu.export import ExportedDecoder
+
+    dec = ExportedDecoder(art)
+    assert dec.meta["batch"] == 2 and dec.meta["t_pad"] == 32
+    texts = dec.transcribe([np.zeros((16, 15), np.float32)])
+    assert isinstance(texts[0], str)
 
     # config.json re-read rebuilds the exact model for inference
     infer_cfg = {
