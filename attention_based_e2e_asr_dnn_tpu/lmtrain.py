@@ -170,6 +170,33 @@ def main(args):
     dump_log_json(os.path.join(tgt_folder, "log.json"),
                   trainer.train_history, trainer.dev_history)
     logger.finish()
+
+    # optional: emit a deployable correction artifact from the best ckpt.
+    #   export_artifact: {batch: 8, t_pad: 256, beam_size: 0, gate: true}
+    # (mirrors train.py's hook; see docs/deployment.md §3)
+    exp_cfg = getattr(trncfgs, "export_artifact", None)
+    if exp_cfg:
+        from attention_based_e2e_asr_dnn_tpu.export import (
+            export_corrector_from_experiment,
+        )
+
+        try:
+            batch = int(getattr(exp_cfg, "batch", 8))
+            t_pad = int(getattr(exp_cfg, "t_pad", 256))
+            out = os.path.join(tgt_folder, "artifacts",
+                               f"corrector-b{batch}-t{t_pad}.tlas")
+            export_corrector_from_experiment(
+                tgt_folder, out, batch=batch, t_pad=t_pad,
+                average=bool(getattr(exp_cfg, "average", False)),
+                beam_size=int(getattr(exp_cfg, "beam_size", 0)),
+                gate=bool(getattr(exp_cfg, "gate", True)),
+            )
+            print(f"exported correction artifact: {out}")
+        except Exception as exc:
+            import sys
+
+            print(f"WARNING: export_artifact failed: {exc}",
+                  file=sys.stderr)
     return trainer
 
 

@@ -276,6 +276,7 @@ def test_lm_pipeline_roundtrip(pipeline_dirs, tmp_path):
         "epoch_scheduler": {"use": False},
         "tf_rate_scheduler": {"use": False, "configs": {}},
         "dropout_scheduler": {"use": False, "configs": {}},
+        "export_artifact": {"batch": 2, "t_pad": 32},
     }
     cfg_path = str(tmp_path / "lm.yml")
     with open(cfg_path, "w") as fh:
@@ -285,6 +286,16 @@ def test_lm_pipeline_roundtrip(pipeline_dirs, tmp_path):
     assert all(np.isfinite(v) for v in trainer.train_history["loss"])
 
     lm_run = [os.path.join(lm_exp, d) for d in sorted(os.listdir(lm_exp))][0]
+
+    # config-driven export produced a loadable gated-correction artifact
+    from attention_based_e2e_asr_dnn_tpu.export import ExportedCorrector
+
+    corr_art = os.path.join(lm_run, "artifacts", "corrector-b2-t32.tlas")
+    assert os.path.exists(corr_art)
+    dec = ExportedCorrector(corr_art)
+    assert dec.meta["gate"] is True
+    assert isinstance(dec.correct(["HI"])[0], str)
+
     # prediction CSV to correct (submission format)
     import pandas as pd
 
