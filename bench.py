@@ -297,29 +297,10 @@ def measure_torch_baseline() -> float:
     return utt_per_sec
 
 
-def _probe_backend(timeout_s: int = 240) -> bool:
-    """Bounded device-backend probe in a SUBPROCESS.
-
-    The axon tunnel, when down, makes ``jax.devices()`` hang for many
-    minutes before erroring (seen 2026-08-17: backend init UNAVAILABLE
-    for hours) — and a hung bench blows straight through the driver's
-    time budget. A subprocess probe can be killed; in-process the hang
-    is uninterruptible C code.
-    """
-    import subprocess
-    import sys
-
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout_s, capture_output=True)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
-
-
 def main():
-    if not _probe_backend():
+    from attention_based_e2e_asr_dnn_tpu.utils.backend import probe_backend
+
+    if not probe_backend():
         import sys
 
         print(json.dumps({

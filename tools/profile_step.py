@@ -81,6 +81,12 @@ def _sync(out):
 
 
 def main():
+    from attention_based_e2e_asr_dnn_tpu.utils.backend import probe_backend
+
+    if not probe_backend():
+        print("device backend unavailable (tunnel down) — aborting",
+              file=sys.stderr)
+        sys.exit(3)
     cfg = las_config_from_dicts(
         dict(input_dim=F, uniform_hid_dim=512, lstm_layers=1, plstm_layers=3,
              init_dropout=0.3, mid_dropout=0.3, final_dropout=0.35,

@@ -46,6 +46,12 @@ def make_stream(n: int, n_feats: int, seed: int = 0):
 
 
 def main():
+    from attention_based_e2e_asr_dnn_tpu.utils.backend import probe_backend
+
+    if not probe_backend():
+        print("device backend unavailable (tunnel down) — aborting",
+              file=sys.stderr)
+        sys.exit(3)
     ap = argparse.ArgumentParser()
     ap.add_argument("--exp", required=True)
     ap.add_argument("--n", type=int, default=256)
