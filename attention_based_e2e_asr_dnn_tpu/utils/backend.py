@@ -14,12 +14,19 @@ import subprocess
 import sys
 
 
-def probe_backend(timeout_s: int = 240) -> bool:
-    """True when ``jax.devices()`` succeeds within ``timeout_s`` in a
-    fresh subprocess (same interpreter, same sitecustomize pinning)."""
+def probe_backend(timeout_s: float = 240,
+                  code: str = "import jax; jax.devices()") -> bool:
+    """True when ``code`` (default: init the default backend) succeeds
+    within ``timeout_s`` in a fresh subprocess.
+
+    The subprocess inherits the sitecustomize platform pin — and that pin
+    ignores ``JAX_PLATFORMS`` env overrides, so the default probe always
+    targets the REAL configured backend; forcing another platform requires
+    ``jax.config.update`` inside ``code``.
+    """
     try:
         r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
+            [sys.executable, "-c", code],
             timeout=timeout_s, capture_output=True)
         return r.returncode == 0
     except subprocess.TimeoutExpired:

@@ -118,3 +118,15 @@ def test_bench_realistic_planner():
         assert lx.min() > 0 and len(lx) == 128
     # mixed shapes (the dense bench's single shape is the dishonest part)
     assert len({(t, l) for t, l, _, _ in plans}) >= 3
+
+
+def test_probe_backend_true_on_cpu_and_false_on_timeout():
+    """probe_backend: True when the probed code can init a backend; False
+    when it cannot finish in time. The sitecustomize pin ignores env
+    overrides, so steering to CPU must happen IN the probed code."""
+    from attention_based_e2e_asr_dnn_tpu.utils.backend import probe_backend
+
+    cpu = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+           "jax.devices()")
+    assert probe_backend(timeout_s=120, code=cpu) is True
+    assert probe_backend(timeout_s=0.01, code=cpu) is False
