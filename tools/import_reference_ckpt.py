@@ -14,7 +14,11 @@ Export back to reference naming (loadable with ``load_state_dict`` strict)::
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+# allow `python tools/<name>.py` without an editable install
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None) -> int:

@@ -15,7 +15,11 @@ bucket compiles before "ready"); POST /v1/transcribe afterwards.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+# allow `python tools/<name>.py` without an editable install
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None) -> int:
@@ -48,6 +52,16 @@ def main(argv=None) -> int:
 
     if bool(args.exp_folder) == bool(args.artifact):
         ap.error("give exactly one of: an experiment folder, or --artifact")
+
+    # fail fast at startup: a dead device backend would otherwise bind a
+    # server whose every request hangs in uninterruptible backend init
+    from attention_based_e2e_asr_dnn_tpu.utils.backend import probe_backend
+
+    if not probe_backend():
+        print("device backend unavailable (tunnel down?) — refusing to "
+              "start a server that would hang every request",
+              file=sys.stderr)
+        return 3
     if args.exp_folder and args.warmup == []:
         ap.error("experiment-mode --warmup needs at least one bucket frame "
                  "count (e.g. --warmup 512 1024); bare --warmup only means "
