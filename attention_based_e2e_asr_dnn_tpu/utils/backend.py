@@ -14,8 +14,7 @@ import subprocess
 import sys
 
 
-def probe_backend(timeout_s: float = 240,
-                  code: str = "import jax; jax.devices()") -> bool:
+def probe_backend(timeout_s: float = 240, code: str | None = None) -> bool:
     """True when ``code`` (default: init the default backend) succeeds
     within ``timeout_s`` in a fresh subprocess.
 
@@ -23,7 +22,19 @@ def probe_backend(timeout_s: float = 240,
     ignores ``JAX_PLATFORMS`` env overrides, so the default probe always
     targets the REAL configured backend; forcing another platform requires
     ``jax.config.update`` inside ``code``.
+
+    Default-probe short-circuit: when THIS process has already forced the
+    CPU platform (tests / CPU fallback drives do
+    ``jax.config.update("jax_platforms", "cpu")``), the in-process backend
+    cannot be the dead tunnel — return True without paying the subprocess
+    (which would still hit the pin). An explicit ``code`` always runs.
     """
+    if code is None:
+        import jax
+
+        if str(getattr(jax.config, "jax_platforms", "") or "") == "cpu":
+            return True
+        code = "import jax; jax.devices()"
     try:
         r = subprocess.run(
             [sys.executable, "-c", code],

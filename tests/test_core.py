@@ -130,3 +130,5 @@ def test_probe_backend_true_on_cpu_and_false_on_timeout():
            "jax.devices()")
     assert probe_backend(timeout_s=120, code=cpu) is True
     assert probe_backend(timeout_s=0.01, code=cpu) is False
+    # default probe short-circuits in a cpu-forced process (this one)
+    assert probe_backend(timeout_s=0.01) is True

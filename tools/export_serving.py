@@ -41,13 +41,21 @@ def main(argv=None) -> int:
     ap.add_argument("--check", action="store_true")
     args = ap.parse_args(argv)
 
+    # tracing/lowering touches the pinned device backend — fail fast with
+    # a diagnostic when it is down instead of hanging in backend init
+    from attention_based_e2e_asr_dnn_tpu.utils.backend import probe_backend
+
+    if not probe_backend():
+        print("device backend unavailable (tunnel down?) — export needs "
+              "a live backend to trace the decode graph", file=sys.stderr)
+        return 3
+
     from attention_based_e2e_asr_dnn_tpu.export import (
         ExportedCorrector,
         ExportedDecoder,
         export_corrector_from_experiment,
         export_from_experiment,
     )
-    import os
 
     if args.model == "rewriter":
         path = export_corrector_from_experiment(
