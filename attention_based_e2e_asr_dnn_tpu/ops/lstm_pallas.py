@@ -478,6 +478,31 @@ def _lstm_bwd_dw_kernel(g_ref, cs_ref, cp_ref, dy_ref, hs_ref, mask_ref,
         dw_ref[:, :] = dw_scratch[:]
 
 
+def _dw_kernel_fits(batch: int, hidden_dim: int, itemsize: int) -> bool:
+    """Whether the in-kernel-dW adjoint's fixed VMEM footprint fits the
+    16 MB scoped stack. The decisive term is the (H, 4H) fp32 dW
+    accumulator + its output block: at H=1024 that pair alone is 32 MB
+    (measured compile OOM at 18 MB scoped, 2026-08-18), while H=512 fits
+    with room for the streams. Above the budget the caller must take
+    _backward_pallas + the outside hs/dpre einsum instead."""
+    four_h = 4 * hidden_dim
+    need = (2 * hidden_dim * four_h * 4          # fp32 dW scratch + out block
+            + four_h * hidden_dim * itemsize     # transposed weight block
+            + 2 * batch * hidden_dim * 4         # dh/dc carry scratch
+            + 2 * batch * four_h * itemsize)     # pending dpre + k=1 stream
+    return need <= 14 * 1024 * 1024
+
+
+def _dw_outside_einsum(hs, dpre, reverse: bool, prec):
+    """Sliced-form dW_hh einsum (h_{-1} = 0 contributes nothing) — the
+    pre-fusion weight gradient as ONE MXU matmul over all (T*B) rows."""
+    if reverse:
+        return jnp.einsum("tbh,tbk->hk", hs[1:], dpre[:-1], precision=prec,
+                          preferred_element_type=jnp.float32)
+    return jnp.einsum("tbh,tbk->hk", hs[:-1], dpre[1:], precision=prec,
+                      preferred_element_type=jnp.float32)
+
+
 def _backward_pallas_dw(w_hh, mask, gates, cs, c_prev, hs, d_hs,
                         interpret: bool = False, reverse: bool = False):
     """Adjoint + in-kernel dW_hh. Returns (dpre (T,B,4H), d_whh (H,4H) fp32).
@@ -545,6 +570,36 @@ def _backward_pallas(w_hh, mask, gates, cs, c_prev, d_hs,
     hidden_dim = four_h // 4
     dtype = gates.dtype
     es = jnp.dtype(dtype).itemsize
+
+    # Batch-chunk when even k=1 exceeds the scoped-VMEM stack: at H=1024,
+    # B=128 the adjoint measured a 17.96 MB scoped allocation (compile OOM,
+    # 2026-08-18). The transposed-weight block (4H, H) is 8.4 MB at H=1024,
+    # so halving the batch-proportional remainder (measured ~9.6 MB at
+    # B=128) brings B=64 to ~13 MB. The chunk launches are independent
+    # (disjoint batch rows), so the scheduler can overlap them the same way
+    # it overlaps the two BiLSTM direction launches.
+    if not interpret:
+        fixed_w = four_h * hidden_dim * es
+        stream_cols = 2 * four_h + 3 * hidden_dim + 1
+
+        def _fits(b):
+            return (fixed_w + 2 * b * hidden_dim * 4
+                    + 2 * b * stream_cols * es) <= 12 * 1024 * 1024
+
+        bchunk = batch
+        while bchunk > 8 and bchunk % 2 == 0 and not _fits(bchunk):
+            bchunk //= 2
+        if bchunk < batch:
+            parts = [
+                _backward_pallas(w_hh, mask[:, i:i + bchunk],
+                                 gates[:, i:i + bchunk],
+                                 cs[:, i:i + bchunk], c_prev[:, i:i + bchunk],
+                                 d_hs[:, i:i + bchunk], interpret,
+                                 reverse=reverse)
+                for i in range(0, batch, bchunk)
+            ]
+            return jnp.concatenate(parts, axis=1)
+
     # streams: gates 4H + cs H + cp H + dy H + mask 1 in, dpre 4H out
     k_block = _pick_k_block(
         seq_len, 2 * four_h + 3 * hidden_dim + 1, batch, es,
@@ -626,9 +681,16 @@ def _bwd(interpret, reverse, res, d_hs):
     else:
         c_prev = jnp.concatenate([zero_row, cs[:-1]], axis=0)
 
-    dpre, d_whh = _backward_pallas_dw(w_hh, mask, gates, cs, c_prev, hs,
-                                      d_hs.astype(dtype), interpret,
-                                      reverse=reverse)
+    if _dw_kernel_fits(batch, hidden_dim, jnp.dtype(dtype).itemsize):
+        dpre, d_whh = _backward_pallas_dw(w_hh, mask, gates, cs, c_prev, hs,
+                                          d_hs.astype(dtype), interpret,
+                                          reverse=reverse)
+    else:  # big-H (e.g. 1024): dW accumulator can't fit the scoped stack
+        dpre = _backward_pallas(w_hh, mask, gates, cs, c_prev,
+                                d_hs.astype(dtype), interpret,
+                                reverse=reverse)
+        d_whh = _dw_outside_einsum(hs, dpre, reverse,
+                                   matmul_precision(dtype))
     return dpre, d_whh.astype(w_hh.dtype), None
 
 
@@ -786,9 +848,15 @@ def _fusedin_bwd(interpret, reverse, res, d_hs):
     else:
         c_prev = jnp.concatenate([zero_row, cs[:-1]], axis=0)
 
-    dpre, d_whh = _backward_pallas_dw(w_hh, mask, gates, cs, c_prev, hs,
-                                      d_hs.astype(dtype), interpret,
-                                      reverse=reverse)
+    if _dw_kernel_fits(batch, hidden_dim, jnp.dtype(dtype).itemsize):
+        dpre, d_whh = _backward_pallas_dw(w_hh, mask, gates, cs, c_prev, hs,
+                                          d_hs.astype(dtype), interpret,
+                                          reverse=reverse)
+    else:
+        dpre = _backward_pallas(w_hh, mask, gates, cs, c_prev,
+                                d_hs.astype(dtype), interpret,
+                                reverse=reverse)
+        d_whh = _dw_outside_einsum(hs, dpre, reverse, prec)
     d_wih = jnp.einsum("tbi,tbk->ik", x, dpre, precision=prec,
                        preferred_element_type=jnp.float32)
     d_b = jnp.sum(dpre, axis=(0, 1), dtype=jnp.float32)

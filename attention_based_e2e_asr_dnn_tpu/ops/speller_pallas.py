@@ -381,12 +381,37 @@ def _decode_bwd_kernel(
 # map is truly constant, so Mosaic keeps ONE VMEM copy, no double buffering)
 # ---------------------------------------------------------------------------
 
-def pick_chunk(batch: int, te: int, proj: int, interpret: bool) -> int:
-    """Largest batch chunk whose resident K/V + streams fit VMEM comfortably."""
+def pick_chunk(batch: int, te: int, proj: int, interpret: bool, *,
+               h1dim: int, h2dim: int, vp: int, heads: int) -> int:
+    """Largest batch chunk whose scoped-VMEM footprint fits the 16 MB stack.
+
+    The decision is EMPIRICAL, not purely modeled. Measured on-chip
+    (2026-08-18) at proj=256: the base-class decoder (h1<=512) compiles and
+    runs at bb=32 across the whole flagship bucket ladder (months of runs),
+    while the scaled arch (h1=1024, heads=4) overflowed the 16 MB scoped
+    stack at bb=32 (fwd: 16.07 MB @ Te=192, 18.47 MB @ Te=128) AND at
+    bb=16 on the backward kernel (16.70 MB @ Te=192/L=224 — even though the
+    same shapes at L=192 fit, i.e. Mosaic's scoped allocation is not a
+    simple function of the block shapes; an analytic model measured ±65%
+    error against it). So: hard-cap the chunk at 8 for h1 > 512 — worst
+    observed footprint scaled to bb=8 leaves >3x margin. The residual
+    analytic row model below only rejects outlandish shapes (huge Te/proj)
+    where even bb=8 cannot fit, routing them to the scan path.
+    """
     if interpret:
         return batch
+    cap = 32 if h1dim <= 512 else 8             # empirical scoped-VMEM rule
+    kv = 2 * te * proj * 2                      # K+V, one VMEM copy, bf16
+    out_x = (2 * vp + 6 * h1dim + 6 * h2dim + proj
+             + heads * te)                      # residual streams, lane dims
+    in_x = 1 + h1dim + h2dim                    # gold + dropout masks
+    scratch = (2 * h1dim + 2 * h2dim + proj + vp) * 4
+    slabs = 16 * (4 * h1dim + 4 * h2dim + heads * te
+                  + 2 * proj + 2 * vp) * 4      # fp32 temporaries (fitted)
+    row = kv + (out_x + in_x) * 2 * 2 + scratch + slabs
+    budget = int(15.5 * 1024 * 1024)
     for cb in (32, 16, 8):
-        if batch % cb == 0 and 2 * cb * te * proj * 2 <= 7 * 1024 * 1024:
+        if cb <= cap and batch % cb == 0 and cb * row <= budget:
             return cb
     return 0  # no valid chunking -> caller falls back to the scan path
 
@@ -776,9 +801,14 @@ def fused_decode_unavailable_reason(cfg, batch: int, enc_len: int,
         return f"dec_lstm_hid_dim {cfg.dec_lstm_hid_dim} not a multiple of 128"
     if cfg.dec_lstm_out_dim % 128 != 0:
         return f"dec_lstm_out_dim {cfg.dec_lstm_out_dim} not a multiple of 128"
-    if pick_chunk(batch, enc_len, cfg.att_proj_dim, False) <= 0:
+    vp = max(32, ((cfg.dec_vocab_size + 7) // 8) * 8)
+    te_k = enc_len + (-enc_len) % 64   # the launcher pads Te to 64-multiples
+    if pick_chunk(batch, te_k, cfg.att_proj_dim, False,
+                  h1dim=cfg.dec_lstm_hid_dim, h2dim=cfg.dec_lstm_out_dim,
+                  vp=vp, heads=cfg.att_heads) <= 0:
         return (f"no VMEM-fitting batch chunk for (B={batch}, Te={enc_len}, "
-                f"proj={cfg.att_proj_dim})")
+                f"proj={cfg.att_proj_dim}, h1={cfg.dec_lstm_hid_dim}, "
+                f"h2={cfg.dec_lstm_out_dim}, heads={cfg.att_heads})")
     return None
 
 
@@ -867,6 +897,19 @@ def speller_apply_fused(params: dict, cfg, rng, enc_h, enc_l, dec_y,
     bias = jnp.where(cache.mask, jnp.asarray(NEG, dtype),
                      jnp.zeros((), dtype))                   # (B, Te)
 
+    # Pad Te up to a multiple of 64 (semantically free: padded K/V columns
+    # carry a NEG bias, so the in-kernel softmax zeroes them; jnp.pad's VJP
+    # slices the zero cotangents back off). This normalizes every bucket
+    # onto te_chunk=64 kernel shapes — the Te%64!=0 variants (te_chunk=32)
+    # measured a ~1 MB LARGER scoped-VMEM footprint on the backward kernel
+    # (Te=160: 16.17 MB at bb=16 vs Te=192 fitting, 2026-08-18).
+    te_pad = (-enc_max_len) % 64 if not interpret else 0
+    te_k = enc_max_len + te_pad
+    if te_pad:
+        k = jnp.pad(k, ((0, 0), (0, te_pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, te_pad), (0, 0)))
+        bias = jnp.pad(bias, ((0, 0), (0, te_pad)), constant_values=NEG)
+
     # --- t = -1 init attention step (outside, ordinary autodiff) -----------
     init_query = jnp.broadcast_to(
         params["init_query"].astype(dtype), (batch, h2dim))
@@ -895,9 +938,10 @@ def speller_apply_fused(params: dict, cfg, rng, enc_h, enc_l, dec_y,
 
     d_head = proj // heads
     scale = math.sqrt(d_head) if cfg.legacy_scale else 1.0 / math.sqrt(d_head)
-    chunk = pick_chunk(batch, enc_max_len, proj, interpret)
+    chunk = pick_chunk(batch, te_k, proj, interpret,
+                       h1dim=h1dim, h2dim=h2dim, vp=vp, heads=heads)
     static = (heads, float(scale), int(cfg.CHR_SOS_IDX), use_dropout,
-              int(chunk), _pick_te_chunk(enc_max_len), bool(interpret))
+              int(chunk), _pick_te_chunk(te_k), bool(interpret))
 
     logits_t, wgts_t = fused_decode(
         static, k, v, bias, context0, h10, c10, h20, c20, embw1, wc1, whh1,
@@ -905,7 +949,7 @@ def speller_apply_fused(params: dict, cfg, rng, enc_h, enc_l, dec_y,
 
     logits = jnp.swapaxes(logits_t, 0, 1)[:, :, :vocab]      # (B, steps, V)
     # att map of sample 0 incl. the t=-1 init step, plot layout
-    w_sample0 = jnp.swapaxes(wgts_t[:, 0], 0, 1)             # (heads, T, Te)
+    w_sample0 = jnp.swapaxes(wgts_t[:, 0], 0, 1)[:, :, :enc_max_len]
     att_map = jnp.concatenate([wgts0[0][:, None, :], w_sample0], axis=1)
     att_map = jnp.swapaxes(att_map, -2, -1)
     return SpellerOutput(logits=logits, att_map=att_map)

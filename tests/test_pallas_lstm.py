@@ -58,6 +58,33 @@ def test_pallas_gradients_match_scan():
                                    atol=3e-4, rtol=1e-4)
 
 
+def test_pallas_gradients_match_scan_big_hidden():
+    """H >= 1024 routes the adjoint around the in-kernel-dW kernel (its fp32
+    accumulator alone exceeds the 16 MB scoped-VMEM stack — compile OOM
+    measured on the scaled arch, 2026-08-18) onto _backward_pallas + the
+    outside sliced einsum. Gradients must stay equivalent on that route."""
+    from attention_based_e2e_asr_dnn_tpu.ops.lstm_pallas import _dw_kernel_fits
+
+    B, T, D, H = 2, 4, 4, 1024
+    assert not _dw_kernel_fits(B, H, 2)       # the route this test pins
+    assert _dw_kernel_fits(128, 512, 2)       # flagship keeps the dW kernel
+    params = lstm_init(jax.random.key(6), D, H)
+    x = jax.random.normal(jax.random.key(7), (B, T, D))
+    lengths = jnp.array([4, 2])
+
+    def loss_ref(p, xx):
+        return jnp.sum(lstm_apply(p, xx, lengths) ** 2)
+
+    def loss_pal(p, xx):
+        return jnp.sum(lstm_apply_pallas(p, xx, lengths, interpret=True) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(params, x)
+    g_pal = jax.grad(loss_pal, argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pal)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=1e-4)
+
+
 def test_pallas_masked_gradients_zero_past_length():
     """No gradient may flow from padded frames into parameters."""
     B, T, D, H = 2, 6, 4, 8

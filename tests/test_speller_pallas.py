@@ -227,6 +227,27 @@ def test_fused_available_gate():
                                       interpret=False)
 
 
+def test_pick_chunk_scoped_vmem_calibration():
+    """pick_chunk's decision is calibrated against on-chip measurements
+    (2026-08-18): the scaled arch (h1=1024, heads=4) overflowed the 16 MB
+    scoped-VMEM stack at bb=32 (fwd) AND bb=16 (bwd, Te=192/L=224), while
+    the base arch compiles and runs at bb=32. Pin both decisions so a
+    budget tweak can't silently regress the flagship chunk or re-introduce
+    the scaled-arch compile OOM."""
+    from attention_based_e2e_asr_dnn_tpu.ops.speller_pallas import pick_chunk
+
+    # scaled LAS (configs/scaled-las.yml): hard-capped at 8 for every Te
+    for te in (64, 128, 192):
+        assert pick_chunk(128, te, 256, False,
+                          h1dim=1024, h2dim=256, vp=32, heads=4) == 8
+    # base LAS flagship: full 32-row chunk (no perf regression)
+    assert pick_chunk(128, 192, 256, False,
+                      h1dim=512, h2dim=256, vp=32, heads=1) == 32
+    # interpret mode is unconstrained
+    assert pick_chunk(3, 11, 128, True,
+                      h1dim=64, h2dim=64, vp=32, heads=1) == 3
+
+
 def test_fused_unavailable_reason_strings():
     """The routing gate explains WHY a shape fell back (VERDICT r2 weak #8)."""
     from attention_based_e2e_asr_dnn_tpu.ops.speller_pallas import (

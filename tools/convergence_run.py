@@ -42,6 +42,16 @@ ARCHS = {
                     "dec_lstm_hid_dim": 256, "dec_lstm_out_dim": 128,
                     "dec_lstm_dropout": 0.1},
     },
+    # scaled LAS (BASELINE.json config #5 / configs/scaled-las.yml):
+    # 1024 hid, 4-head attention, remat'd listener layers
+    "scaled": {
+        "listener": {"uniform_hid_dim": 1024, "plstm_layers": 3,
+                     "init_dropout": 0.1, "mid_dropout": 0.1,
+                     "final_dropout": 0.1, "remat": True},
+        "speller": {"att_proj_dim": 256, "att_heads": 4, "dec_emb_dim": 512,
+                    "dec_lstm_hid_dim": 1024, "dec_lstm_out_dim": 256,
+                    "dec_lstm_dropout": 0.1},
+    },
     # flagship base-LAS (reference config/sample-attention.yml:45-68)
     "base": {
         "listener": {"uniform_hid_dim": 512, "plstm_layers": 3,
