@@ -587,7 +587,10 @@ def _backward_pallas(w_hh, mask, gates, cs, c_prev, d_hs,
                     + 2 * b * stream_cols * es) <= 12 * 1024 * 1024
 
         bchunk = batch
-        while bchunk > 8 and bchunk % 2 == 0 and not _fits(bchunk):
+        # halving must preserve the sublane constraint (batch % 8 == 0 is a
+        # hard Mosaic gate elsewhere in this module) — e.g. 144 may halve to
+        # 72 but never to 36
+        while bchunk > 8 and (bchunk // 2) % 8 == 0 and not _fits(bchunk):
             bchunk //= 2
         if bchunk < batch:
             parts = [
@@ -668,10 +671,14 @@ def _fwd(x_proj, w_hh, mask, interpret, reverse):
     return hs, (w_hh, mask, hs, cs, gates)
 
 
-def _bwd(interpret, reverse, res, d_hs):
-    """Pallas adjoint kernel with in-kernel dW_hh accumulation."""
-    w_hh, mask, hs, cs, gates = res
-    seq_len, batch, four_h = gates.shape
+def _adjoint_with_dw(w_hh, mask, hs, cs, gates, d_hs, interpret, reverse):
+    """Shared VJP core: the Pallas adjoint plus dW_hh, routed by VMEM fit.
+
+    H <= 512 takes the in-kernel fp32-scratch dW accumulator; bigger H
+    (whose (H,4H) accumulator alone overflows the scoped stack) takes the
+    plain adjoint plus one sliced outside einsum. Returns
+    (dpre (T,B,4H), d_whh (H,4H) fp32)."""
+    _, batch, four_h = gates.shape
     hidden_dim = four_h // 4
     dtype = gates.dtype
 
@@ -682,15 +689,21 @@ def _bwd(interpret, reverse, res, d_hs):
         c_prev = jnp.concatenate([zero_row, cs[:-1]], axis=0)
 
     if _dw_kernel_fits(batch, hidden_dim, jnp.dtype(dtype).itemsize):
-        dpre, d_whh = _backward_pallas_dw(w_hh, mask, gates, cs, c_prev, hs,
-                                          d_hs.astype(dtype), interpret,
-                                          reverse=reverse)
-    else:  # big-H (e.g. 1024): dW accumulator can't fit the scoped stack
-        dpre = _backward_pallas(w_hh, mask, gates, cs, c_prev,
-                                d_hs.astype(dtype), interpret,
-                                reverse=reverse)
-        d_whh = _dw_outside_einsum(hs, dpre, reverse,
-                                   matmul_precision(dtype))
+        return _backward_pallas_dw(w_hh, mask, gates, cs, c_prev, hs,
+                                   d_hs.astype(dtype), interpret,
+                                   reverse=reverse)
+    # big-H (e.g. 1024): dW accumulator can't fit the scoped stack
+    dpre = _backward_pallas(w_hh, mask, gates, cs, c_prev,
+                            d_hs.astype(dtype), interpret, reverse=reverse)
+    return dpre, _dw_outside_einsum(hs, dpre, reverse,
+                                    matmul_precision(dtype))
+
+
+def _bwd(interpret, reverse, res, d_hs):
+    """Pallas adjoint kernel with in-kernel dW_hh accumulation."""
+    w_hh, mask, hs, cs, gates = res
+    dpre, d_whh = _adjoint_with_dw(w_hh, mask, hs, cs, gates, d_hs,
+                                   interpret, reverse)
     return dpre, d_whh.astype(w_hh.dtype), None
 
 
@@ -837,26 +850,11 @@ def _fusedin_fwd(x, w_ih, b, w_hh, mask, interpret, reverse):
 
 def _fusedin_bwd(interpret, reverse, res, d_hs):
     x, w_ih, w_hh, mask, hs, cs, gates = res
-    seq_len, batch, _ = gates.shape
-    hidden_dim = gates.shape[2] // 4
     dtype = gates.dtype
     prec = matmul_precision(dtype)
 
-    zero_row = jnp.zeros((1, batch, hidden_dim), dtype)
-    if reverse:
-        c_prev = jnp.concatenate([cs[1:], zero_row], axis=0)
-    else:
-        c_prev = jnp.concatenate([zero_row, cs[:-1]], axis=0)
-
-    if _dw_kernel_fits(batch, hidden_dim, jnp.dtype(dtype).itemsize):
-        dpre, d_whh = _backward_pallas_dw(w_hh, mask, gates, cs, c_prev, hs,
-                                          d_hs.astype(dtype), interpret,
-                                          reverse=reverse)
-    else:
-        dpre = _backward_pallas(w_hh, mask, gates, cs, c_prev,
-                                d_hs.astype(dtype), interpret,
-                                reverse=reverse)
-        d_whh = _dw_outside_einsum(hs, dpre, reverse, prec)
+    dpre, d_whh = _adjoint_with_dw(w_hh, mask, hs, cs, gates, d_hs,
+                                   interpret, reverse)
     d_wih = jnp.einsum("tbi,tbk->ik", x, dpre, precision=prec,
                        preferred_element_type=jnp.float32)
     d_b = jnp.sum(dpre, axis=(0, 1), dtype=jnp.float32)

@@ -411,7 +411,12 @@ def pick_chunk(batch: int, te: int, proj: int, interpret: bool, *,
     row = kv + (out_x + in_x) * 2 * 2 + scratch + slabs
     budget = int(15.5 * 1024 * 1024)
     for cb in (32, 16, 8):
-        if cb <= cap and batch % cb == 0 and cb * row <= budget:
+        # the pre-round-3 conservative K/V-residency cap (7 MB) is kept as
+        # an AND-constraint: every chunk the row model admits beyond it
+        # (long-Te shapes, e.g. Te=448 at h1=512) is unmeasured on-chip,
+        # and the row model's fitted error bars (±65%) don't cover it
+        if (cb <= cap and batch % cb == 0 and cb * row <= budget
+                and 2 * cb * te * proj * 2 <= 7 * 1024 * 1024):
             return cb
     return 0  # no valid chunking -> caller falls back to the scan path
 

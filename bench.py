@@ -93,6 +93,8 @@ def _build_step_and_state(arch: str = "base"):
         make_train_step,
     )
 
+    if arch not in ("base", "scaled"):
+        raise ValueError(f"BENCH_ARCH must be 'base' or 'scaled', got {arch!r}")
     if arch == "scaled":
         # BASELINE.json config #5 / configs/scaled-las.yml: 1024 hid,
         # 4-head attention, bf16, remat'd listener layers.
@@ -129,7 +131,7 @@ def _build_step_and_state(arch: str = "base"):
     return cfg, step, state
 
 
-def measure_jax() -> float:
+def measure_jax(arch: str = "base") -> float:
     import jax
     import jax.numpy as jnp
 
@@ -138,7 +140,7 @@ def measure_jax() -> float:
     )
 
     enable_compilation_cache()
-    cfg, step, state = _build_step_and_state(os.environ.get("BENCH_ARCH", "base"))
+    cfg, step, state = _build_step_and_state(arch)
 
     rng = np.random.default_rng(0)
     state, step_seconds = _measure_shape(
@@ -313,6 +315,9 @@ def measure_torch_baseline() -> float:
 def main():
     from attention_based_e2e_asr_dnn_tpu.utils.backend import probe_backend
 
+    arch = os.environ.get("BENCH_ARCH", "base")
+    if arch not in ("base", "scaled"):
+        raise ValueError(f"BENCH_ARCH must be 'base' or 'scaled', got {arch!r}")
     if not probe_backend():
         import sys
 
@@ -327,7 +332,7 @@ def main():
         print("bench: backend probe failed; see error field",
               file=sys.stderr)
         return
-    jax_tput, mfu_val, flops, step, state = measure_jax()
+    jax_tput, mfu_val, flops, step, state = measure_jax(arch)
     realistic = waste = None
     if os.environ.get("BENCH_REALISTIC", "1") != "0":
         try:
@@ -337,8 +342,7 @@ def main():
     try:
         # the cached torch baseline is the BASE architecture — comparing the
         # scaled arch against it would inflate the ratio, so skip it there
-        torch_tput = (measure_torch_baseline()
-                      if os.environ.get("BENCH_ARCH", "base") == "base" else None)
+        torch_tput = measure_torch_baseline() if arch == "base" else None
     except Exception:
         torch_tput = None
     result = {
@@ -354,7 +358,6 @@ def main():
         "value_realistic": round(realistic, 3) if realistic else None,
         "pad_waste_frac": round(waste, 4) if waste is not None else None,
     }
-    arch = os.environ.get("BENCH_ARCH", "base")
     if arch != "base":
         result["arch"] = arch
     print(json.dumps(result))
