@@ -63,6 +63,7 @@ __all__ = [
     "load_torch_state_dict",
     "las_params_from_state_dict",
     "rewriter_params_from_state_dict",
+    "params_from_state_dict",
     "state_dict_from_las_params",
     "state_dict_from_rewriter_params",
 ]
@@ -75,19 +76,26 @@ def _np(a) -> np.ndarray:
     return np.asarray(a)
 
 
-def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+def load_torch_state_dict(path: str, return_meta: bool = False):
     """Read a reference ``.pt`` checkpoint -> {key: ndarray}.
 
     Unwraps the trainer payload (``model_state_dict``, src/train.py:352) or
     accepts a bare ``state_dict``. ``weights_only=True`` forbids arbitrary
-    unpickling — the file can only yield tensors.
+    unpickling — the file can only yield tensors. With ``return_meta``,
+    also returns the payload's scalar bookkeeping (``epoch``/``batch``
+    counters, src/train.py:352-360) as a second dict.
     """
     import torch
 
     loaded = torch.load(path, map_location="cpu", weights_only=True)
+    meta: Dict[str, int] = {}
     if isinstance(loaded, dict) and "model_state_dict" in loaded:
+        for k in ("epoch", "batch"):
+            if isinstance(loaded.get(k), int):
+                meta[k] = loaded[k]
         loaded = loaded["model_state_dict"]
-    return {k: _np(v) for k, v in loaded.items()}
+    sd = {k: _np(v) for k, v in loaded.items()}
+    return (sd, meta) if return_meta else sd
 
 
 # ---------------------------------------------------------------------------
@@ -252,6 +260,25 @@ def las_params_from_state_dict(sd: Mapping) -> dict:
     }
     _check_consumed(view, "ListenAttendSpell")
     return params
+
+
+def params_from_state_dict(sd: Mapping):
+    """Auto-detect the model family and convert -> ``(params, family)``.
+
+    The reference's two families have disjoint key prefixes
+    (``ListenAttendSpell``: ``listen.``/``spell.``, src/models.py:500-527;
+    ``Rewriter``: ``enc_lstm.``/``dec_lstm.``, src/lmtrain.py:98-253), so a
+    bare state_dict identifies itself. Used by ``load_checkpoint`` to make
+    reference ``.pt`` files loadable wherever our ``.ckpt`` is accepted.
+    """
+    if any(k.startswith("listen.") for k in sd):
+        return las_params_from_state_dict(sd), "las"
+    if any(k.startswith("enc_lstm.") for k in sd):
+        return rewriter_params_from_state_dict(sd), "rewriter"
+    raise ValueError(
+        "state_dict matches neither reference family (no 'listen.*' or "
+        f"'enc_lstm.*' keys; got e.g. {sorted(sd)[:4]})"
+    )
 
 
 def rewriter_params_from_state_dict(sd: Mapping) -> dict:

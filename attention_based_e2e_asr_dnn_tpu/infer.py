@@ -32,6 +32,7 @@ from attention_based_e2e_asr_dnn_tpu.data.datasets import AsrTestDataset, ToyTes
 from attention_based_e2e_asr_dnn_tpu.models.las import las_apply, las_config_from_dicts
 from attention_based_e2e_asr_dnn_tpu.training.checkpoints import (
     average_checkpoints,
+    list_best_checkpoints,
     load_checkpoint,
     save_checkpoint,
 )
@@ -112,9 +113,8 @@ def infer_one_checkpoint(model_cfgs, infcfgs, checkpoint_filepath, batcher,
     ckpt_dir = os.path.dirname(checkpoint_filepath)
     out_dir = (os.path.join(os.path.dirname(ckpt_dir), "preds")
                if os.path.basename(ckpt_dir) == "ckpts" else ckpt_dir)
-    out_filepath = os.path.join(
-        out_dir,
-        os.path.basename(checkpoint_filepath).replace(".ckpt", f"-{tag}.csv"))
+    ckpt_base = os.path.splitext(os.path.basename(checkpoint_filepath))[0]
+    out_filepath = os.path.join(out_dir, f"{ckpt_base}-{tag}.csv")
     if template_filepath and os.path.exists(template_filepath):
         write_submission(preds, template_filepath, out_filepath)
     else:
@@ -133,9 +133,18 @@ def main(args):
     model_cfgs = load_config(os.path.join(exp_folder, "config.json"))
 
     use_mini = os.path.basename(model_cfgs.TRN_FOLDER).startswith("mini")
-    vocab = model_cfgs.VOCAB
-    sos_idx = model_cfgs.SOS_IDX
-    eos_idx = model_cfgs.EOS_IDX
+    # our train.py injects VOCAB/SOS/EOS into the snapshot; a REFERENCE
+    # experiment's config.json (src/train.py:527) has none — its vocabulary
+    # is the fixed constants table, which is exactly ours
+    vocab = getattr(model_cfgs, "VOCAB", None)
+    if vocab is None:
+        from attention_based_e2e_asr_dnn_tpu import constants
+
+        vocab = constants.VOCAB
+        sos_idx, eos_idx = constants.SOS_IDX, constants.EOS_IDX
+    else:
+        sos_idx = model_cfgs.SOS_IDX
+        eos_idx = model_cfgs.EOS_IDX
 
     if use_mini:
         ds = ToyTestDataset(infcfgs.SOME_FOLDER)
@@ -157,9 +166,9 @@ def main(args):
 
     ckpt_dir = os.path.join(exp_folder, "ckpts")
     # only best-tag checkpoints: crash saves (emergency-*) and a previous
-    # run's avg-all.ckpt must not leak into run_all / the uniform average
-    ckpts = sorted(f for f in os.listdir(ckpt_dir)
-                   if f.endswith(".ckpt") and f.startswith("min"))
+    # run's avg-all.* must not leak into run_all / the uniform average;
+    # reference .pt files load transparently (compat import)
+    ckpts = list_best_checkpoints(ckpt_dir)
 
     common = dict(model_cfgs=model_cfgs, infcfgs=infcfgs, batcher=batcher,
                   n_examples=len(ds), tag=tag, template_filepath=template,
@@ -170,7 +179,8 @@ def main(args):
             infer_one_checkpoint(
                 checkpoint_filepath=os.path.join(ckpt_dir, fp), **common)
     elif getattr(infcfgs, "epoch_num", None) is not None:
-        match = [f for f in ckpts if f.endswith(f"epoch[{infcfgs.epoch_num}].ckpt")]
+        match = [f for f in ckpts
+                 if os.path.splitext(f)[0].endswith(f"epoch[{infcfgs.epoch_num}]")]
         if not match:
             # fail loudly — a silent skip here reads as success with no output
             raise FileNotFoundError(

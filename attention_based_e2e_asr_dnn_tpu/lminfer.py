@@ -27,6 +27,7 @@ from attention_based_e2e_asr_dnn_tpu.data.datasets import LmTestDataset
 from attention_based_e2e_asr_dnn_tpu.models.rewriter import RewriterConfig, rewriter_apply
 from attention_based_e2e_asr_dnn_tpu.training.checkpoints import (
     average_checkpoints,
+    list_best_checkpoints,
     load_checkpoint,
     save_checkpoint,
 )
@@ -174,9 +175,9 @@ def infer_one_checkpoint(model_cfgs, tstcfgs, checkpoint_filepath, batcher,
 
     # rewrite the BASENAME only — a parent directory whose name happens to
     # contain ".ckpt" must not be rewritten
+    ckpt_base = os.path.splitext(os.path.basename(checkpoint_filepath))[0]
     out_filepath = os.path.join(
-        os.path.dirname(checkpoint_filepath),
-        os.path.basename(checkpoint_filepath).replace(".ckpt", "-pred.csv"))
+        os.path.dirname(checkpoint_filepath), f"{ckpt_base}-pred.csv")
     try:
         import pandas as pd
 
@@ -207,9 +208,9 @@ def main(args):
     )
 
     ckpt_dir = os.path.join(exp_folder, "ckpts")
-    # best-tag checkpoints only (exclude crash saves and stale avg-all)
-    ckpts = sorted(f for f in os.listdir(ckpt_dir)
-                   if f.endswith(".ckpt") and f.startswith("min"))
+    # best-tag checkpoints only (exclude crash saves and stale avg-all);
+    # reference .pt files load transparently (compat import)
+    ckpts = list_best_checkpoints(ckpt_dir)
     common = dict(model_cfgs=model_cfgs, tstcfgs=tstcfgs, batcher=batcher,
                   n_examples=len(ds), template_filepath=template)
 
@@ -218,7 +219,8 @@ def main(args):
             infer_one_checkpoint(
                 checkpoint_filepath=os.path.join(ckpt_dir, fp), **common)
     elif getattr(tstcfgs, "epoch_num", None) is not None:
-        match = [f for f in ckpts if f.endswith(f"epoch[{tstcfgs.epoch_num}].ckpt")]
+        match = [f for f in ckpts
+                 if os.path.splitext(f)[0].endswith(f"epoch[{tstcfgs.epoch_num}]")]
         if not match:
             # fail loudly — a silent skip here reads as success with no output
             raise FileNotFoundError(

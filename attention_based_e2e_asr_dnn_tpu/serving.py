@@ -28,11 +28,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from attention_based_e2e_asr_dnn_tpu import constants
 from attention_based_e2e_asr_dnn_tpu.config import load_config
 from attention_based_e2e_asr_dnn_tpu.data.batching import pad_to_multiple
 from attention_based_e2e_asr_dnn_tpu.models.las import las_config_from_dicts
 from attention_based_e2e_asr_dnn_tpu.training.checkpoints import (
     average_checkpoints,
+    list_best_checkpoints,
     load_checkpoint,
 )
 from attention_based_e2e_asr_dnn_tpu.utils.levenshtein import ids_to_str
@@ -47,15 +49,12 @@ def _epoch_of(filename: str) -> int:
 
 
 def _best_checkpoint(ckpt_dir: str) -> str:
-    """Highest-epoch best-tag checkpoint (min-*.ckpt). Epochs compare
-    NUMERICALLY — a lexicographic sort would rank epoch[9] over epoch[10]."""
-    cands = sorted(
-        (f for f in os.listdir(ckpt_dir)
-         if f.endswith(".ckpt") and f.startswith("min")),
-        key=_epoch_of,
-    )
+    """Highest-epoch best-tag checkpoint (min-*.ckpt / reference min-*.pt).
+    Epochs compare NUMERICALLY — a lexicographic sort would rank epoch[9]
+    over epoch[10]."""
+    cands = sorted(list_best_checkpoints(ckpt_dir), key=_epoch_of)
     if not cands:
-        raise FileNotFoundError(f"no min-*.ckpt checkpoints in {ckpt_dir}")
+        raise FileNotFoundError(f"no min-* checkpoints in {ckpt_dir}")
     return os.path.join(ckpt_dir, cands[-1])
 
 
@@ -65,14 +64,19 @@ def load_experiment(exp_folder: str, checkpoint: Optional[str] = None,
 
     The one place that implements best-checkpoint selection vs named
     checkpoint vs run-avg averaging — shared by Transcriber, Corrector and
-    export.export_from_experiment."""
+    export.export_from_experiment. Accepts an untouched REFERENCE experiment
+    folder too: its config.json (src/train.py:527) carries no vocab
+    injection, so the fixed constants table (identical by construction) is
+    filled in, and its min-*.pt checkpoints import through compat."""
     snap = load_config(os.path.join(exp_folder, "config.json"))
+    if not hasattr(snap, "VOCAB"):
+        snap.VOCAB = list(constants.VOCAB)
+        snap.SOS_IDX = constants.SOS_IDX
+        snap.EOS_IDX = constants.EOS_IDX
     ckpt_dir = os.path.join(exp_folder, "ckpts")
     if average:
-        paths = sorted(
-            os.path.join(ckpt_dir, f) for f in os.listdir(ckpt_dir)
-            if f.endswith(".ckpt") and f.startswith("min")
-        )
+        paths = [os.path.join(ckpt_dir, f)
+                 for f in list_best_checkpoints(ckpt_dir)]
         payload = average_checkpoints(paths)
     else:
         payload = load_checkpoint(checkpoint or _best_checkpoint(ckpt_dir))

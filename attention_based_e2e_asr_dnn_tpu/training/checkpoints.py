@@ -97,13 +97,41 @@ def decode_params_npz(z, params_tree):
     return _decode_tree(params_tree, leaves)
 
 
+def _load_torch_checkpoint(path: str) -> dict:
+    """Reference ``.pt`` -> params-only payload via the compat converters.
+
+    ``torch.load(weights_only=True)`` (inside ``load_torch_state_dict``)
+    forbids arbitrary unpickling; the model family is auto-detected from the
+    state_dict's key prefixes. The reference's torch optimizer/scheduler
+    state has no meaning to optax, so resume/finetune starts those fresh.
+    """
+    from attention_based_e2e_asr_dnn_tpu import compat
+
+    sd, meta = compat.load_torch_state_dict(path, return_meta=True)
+    params, family = compat.params_from_state_dict(sd)
+    warnings.warn(
+        f"{path}: reference PyTorch checkpoint ({family}) — imported params "
+        f"only; optimizer/scheduler state starts fresh",
+        stacklevel=3,
+    )
+    out = {"params": params, "opt_state": None, "torch_import": family}
+    out.update(meta)  # epoch/batch counters when the payload carried them
+    return out
+
+
 def load_checkpoint(path: str) -> dict:
     """Load a checkpoint. ``opt_state`` comes back as a FLAT leaf list —
     rebuild it with ``tree_unflatten`` against the live optimizer structure
-    (Trainer.load does). Data-only: no code execution from the file."""
+    (Trainer.load does). Data-only: no code execution from the file.
+
+    Reference PyTorch ``.pt`` checkpoints (zip or legacy-pickle torch
+    serialization) load transparently through ``compat`` — so ``finetune``,
+    ``infer`` epoch selection, and ``run_avg`` averaging all accept the
+    reference's files directly.
+    """
     with open(path, "rb") as fh:
         magic = fh.read(2)
-    if magic != b"PK":  # legacy pickle checkpoint (pre data-only format)
+    if magic != b"PK":  # not a zip: our legacy pickle OR torch legacy pickle
         import pickle
 
         warnings.warn(
@@ -112,7 +140,27 @@ def load_checkpoint(path: str) -> dict:
             stacklevel=2,
         )
         with open(path, "rb") as fh:
-            return pickle.load(fh)
+            loaded = pickle.load(fh)
+        if isinstance(loaded, int):
+            # torch's legacy (pre-1.6) serialization is a STREAM of pickles
+            # led by a magic long — a single pickle.load yields that int
+            return _load_torch_checkpoint(path)
+        if isinstance(loaded, dict) and "params" not in loaded and (
+                "model_state_dict" in loaded or any(
+                    hasattr(v, "detach") for v in loaded.values())):
+            return _load_torch_checkpoint(path)
+        return loaded
+    import zipfile
+
+    with zipfile.ZipFile(path) as zf:
+        names = set(zf.namelist())
+    if "__record__.npy" not in names:
+        if any(n.rsplit("/", 1)[-1] == "data.pkl" for n in names):
+            return _load_torch_checkpoint(path)  # torch>=1.6 zip format
+        raise ValueError(
+            f"{path}: zip archive is neither our npz checkpoint (no "
+            f"__record__) nor a torch zip checkpoint (no data.pkl)"
+        )
     with np.load(path, allow_pickle=False) as z:
         record = json.loads(bytes(z["__record__"]).decode("utf-8"))
         out = dict(record["meta"])
@@ -124,6 +172,18 @@ def load_checkpoint(path: str) -> dict:
         else:
             out.setdefault("opt_state", None)
         return out
+
+
+def list_best_checkpoints(ckpt_dir: str) -> List[str]:
+    """Best-tag checkpoint filenames in a ckpts/ folder, name-sorted.
+
+    Accepts our ``min-*.ckpt`` and the reference's ``min-*.pt``
+    (src/train.py:362) so an untouched reference experiment folder is
+    directly consumable by infer/serving/export. Crash saves
+    (``emergency-*``) and a previous run's ``avg-all.*`` are excluded.
+    """
+    return sorted(f for f in os.listdir(ckpt_dir)
+                  if f.startswith("min") and f.endswith((".ckpt", ".pt")))
 
 
 def average_checkpoints(paths: List[str]) -> dict:

@@ -562,8 +562,9 @@ class Trainer:
                 params=params, opt_state=opt_state, rng=self.state.rng,
                 step=self.state.step,
             ))
-        self.epoch = loaded["epoch"]
-        self.batch = loaded["batch"]
+        # params-only payloads (reference .pt imports) carry no counters
+        self.epoch = loaded.get("epoch", self.epoch)
+        self.batch = loaded.get("batch", self.batch)
         self.train_history["loss"] = list(loaded.get("train_loss", []))
         self.train_history["ppl"] = list(loaded.get("train_ppl", []))
         self.dev_history["loss"] = list(loaded.get("dev_loss", []))

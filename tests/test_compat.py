@@ -7,6 +7,8 @@ reference's modules produce (src/models.py:500-527, src/lmtrain.py:98-253)
 through torch and through our apply fns.
 """
 
+import os
+
 import numpy as np
 import pytest
 import jax
@@ -340,3 +342,179 @@ def test_cli_import_produces_loadable_ckpt(tmp_path):
     assert cli.main(["las", str(out), "-o", str(back), "--export"]) == 0
     rt = torch.load(back, map_location="cpu", weights_only=True)
     assert set(rt["model_state_dict"]) == set(sd)
+
+
+# ---------------------------------------------------------------------------
+# transparent .pt loading: reference checkpoints work wherever .ckpt does
+# ---------------------------------------------------------------------------
+
+
+def test_params_from_state_dict_autodetects_family():
+    p, fam = compat.params_from_state_dict(make_ref_las_state_dict())
+    assert fam == "las" and "listener" in p
+    p, fam = compat.params_from_state_dict(make_ref_rewriter_state_dict())
+    assert fam == "rewriter" and "encoder" in p
+    with pytest.raises(ValueError, match="neither reference family"):
+        compat.params_from_state_dict({"foo.weight": np.zeros(2)})
+
+
+def test_load_checkpoint_reads_torch_zip_pt(tmp_path):
+    from attention_based_e2e_asr_dnn_tpu.training.checkpoints import (
+        load_checkpoint,
+    )
+
+    sd = make_ref_las_state_dict()
+    pt = tmp_path / "min-ld-epoch[7].pt"
+    torch.save({"model_state_dict": sd, "epoch": 7}, pt)
+    with pytest.warns(UserWarning, match="reference PyTorch checkpoint"):
+        payload = load_checkpoint(str(pt))
+    assert payload["torch_import"] == "las"
+    assert payload["opt_state"] is None
+    assert payload["epoch"] == 7
+    want = compat.las_params_from_state_dict(sd)
+    np.testing.assert_allclose(
+        payload["params"]["speller"]["cell1"]["w_hh"],
+        want["speller"]["cell1"]["w_hh"])
+
+
+def test_load_checkpoint_reads_torch_legacy_pickle(tmp_path):
+    """torch<1.6 pickle serialization (no zip magic) also routes to compat."""
+    from attention_based_e2e_asr_dnn_tpu.training.checkpoints import (
+        load_checkpoint,
+    )
+
+    sd = make_ref_rewriter_state_dict()
+    pt = tmp_path / "lm.pt"
+    torch.save({"model_state_dict": sd}, pt,
+               _use_new_zipfile_serialization=False)
+    with pytest.warns(UserWarning, match="reference PyTorch checkpoint"):
+        payload = load_checkpoint(str(pt))
+    assert payload["torch_import"] == "rewriter"
+    want = compat.rewriter_params_from_state_dict(sd)
+    np.testing.assert_allclose(
+        payload["params"]["decoder"]["cell2"]["w_ih"],
+        want["decoder"]["cell2"]["w_ih"])
+
+
+def test_load_checkpoint_rejects_foreign_zip(tmp_path):
+    import zipfile
+
+    from attention_based_e2e_asr_dnn_tpu.training.checkpoints import (
+        load_checkpoint,
+    )
+
+    bad = tmp_path / "not-a-ckpt.zip"
+    with zipfile.ZipFile(bad, "w") as zf:
+        zf.writestr("readme.txt", "hello")
+    with pytest.raises(ValueError, match="neither our npz checkpoint"):
+        load_checkpoint(str(bad))
+
+
+def test_average_checkpoints_mixes_pt_and_ckpt(tmp_path):
+    """run_avg over a folder holding BOTH formats averages them uniformly."""
+    from attention_based_e2e_asr_dnn_tpu.training.checkpoints import (
+        average_checkpoints,
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    sd = make_ref_las_state_dict()
+    pt = tmp_path / "min-ld-epoch[1].pt"
+    torch.save({"model_state_dict": sd}, pt)
+    params = compat.las_params_from_state_dict(sd)
+    doubled = jax.tree.map(lambda a: np.asarray(a) * 3.0, params)
+    ck = tmp_path / "min-ld-epoch[2].ckpt"
+    save_checkpoint(str(ck), {"params": doubled, "epoch": 2, "batch": 0})
+    avg = average_checkpoints([str(pt), str(ck)])
+    np.testing.assert_allclose(
+        avg["params"]["speller"]["init_query"],
+        2.0 * np.asarray(params["speller"]["init_query"]), rtol=1e-6)
+
+
+def test_infer_cli_runs_on_reference_experiment_folder(tmp_path):
+    """Our infer CLI consumes an UNTOUCHED reference experiment folder:
+    config.json straight from the reference's snapshot shape (no vocab
+    injection, torch-only keys present) + ckpts/min-*.pt checkpoints.
+    Covers discovery, epoch_num matching, run_avg over .pt, and CSV naming.
+    """
+    import argparse
+
+    import pandas as pd
+    import yaml
+
+    from attention_based_e2e_asr_dnn_tpu import infer as infer_mod
+    from attention_based_e2e_asr_dnn_tpu.constants import VOCAB_MAP
+
+    # --- 6-dim dataset matching the fixture dims, reference layout
+    rng = np.random.default_rng(0)
+    data = tmp_path / "data"
+    n = 6
+    tst = data / "test-clean"
+    (tst / "mfcc").mkdir(parents=True)
+    (tst / "transcript").mkdir(parents=True)
+    for i in range(n):
+        feats = rng.normal(size=(24 + 4 * i, IDIM)).astype(np.float32)
+        np.save(tst / "mfcc" / f"utt{i:03d}.npy", feats)
+    pd.DataFrame({"id": list(range(n)), "label": ["X"] * n}).to_csv(
+        tst / "transcript" / "random_submission.csv", index=False)
+
+    # --- reference-style experiment folder
+    exp = tmp_path / "ref-exp"
+    (exp / "ckpts").mkdir(parents=True)
+    ref_cfg = {
+        # exactly the reference's snapshot: its training yaml, verbatim —
+        # torch-only keys included, no VOCAB/SOS/EOS injection
+        "TRN_FOLDER": str(data / "train-clean-100"),
+        "num_workers": 8,
+        "scaler": {"use": True},
+        "model": {
+            "tag": "ref-las",
+            "configs": {
+                "listener_configs": {
+                    "input_dim": IDIM, "uniform_hid_dim": HID,
+                    "lstm_layers": NBASE, "plstm_layers": NPYR,
+                    "bidirectional": True,
+                },
+                "speller_configs": {
+                    "att_proj_dim": PROJ, "att_heads": HEADS,
+                    "dec_emb_dim": EMB, "dec_lstm_hid_dim": DEC_HID,
+                    "dec_lstm_out_dim": DEC_OUT,
+                    "CHR_MAX_STEPS": 8, "USE_GREEDY": True,
+                },
+            },
+        },
+    }
+    import json
+
+    (exp / "config.json").write_text(json.dumps(ref_cfg))
+    for ep, seed in ((3, 0), (5, 1)):
+        torch.save(
+            {"model_state_dict": make_ref_las_state_dict(seed), "epoch": ep},
+            exp / "ckpts" / f"min-ld-epoch[{ep}].pt")
+
+    inf_cfg = {
+        "SOME_FOLDER": str(tst),
+        "exp_folder": str(exp),
+        "batch_size": 3,
+        "pad_time_multiple": 8,
+        "run_all": False,
+        "run_avg": True,
+        "epoch_num": 5,
+        "use_greedy": True,
+        "beam_size": 0,
+    }
+    cfg_path = tmp_path / "inf.yml"
+    cfg_path.write_text(yaml.safe_dump(inf_cfg))
+    infer_mod.main(argparse.Namespace(config_file=str(cfg_path)))
+
+    preds = exp / "preds"
+    named = preds / "min-ld-epoch[5]-tst.csv"
+    avg = preds / "avg-all-tst.csv"
+    assert named.exists(), sorted(os.listdir(preds))
+    assert avg.exists()
+    df = pd.read_csv(named)
+    assert list(df["id"]) == list(range(n))
+    # decoded strings are in-vocab (garbage weights, but valid chars)
+    legal = set("".join(k for k in VOCAB_MAP if len(k) == 1))
+    for s in df["label"].fillna(""):
+        assert set(str(s)) <= legal
