@@ -577,31 +577,31 @@ def _backward_pallas(w_hh, mask, gates, cs, c_prev, d_hs,
     # so halving the batch-proportional remainder (measured ~9.6 MB at
     # B=128) brings B=64 to ~13 MB. The chunk launches are independent
     # (disjoint batch rows), so the scheduler can overlap them the same way
-    # it overlaps the two BiLSTM direction launches.
-    if not interpret:
-        fixed_w = four_h * hidden_dim * es
-        stream_cols = 2 * four_h + 3 * hidden_dim + 1
+    # it overlaps the two BiLSTM direction launches. Interpret mode follows
+    # the SAME routing so CPU equivalence tests exercise the chunked path.
+    fixed_w = four_h * hidden_dim * es
+    stream_cols = 2 * four_h + 3 * hidden_dim + 1
 
-        def _fits(b):
-            return (fixed_w + 2 * b * hidden_dim * 4
-                    + 2 * b * stream_cols * es) <= 12 * 1024 * 1024
+    def _fits(b):
+        return (fixed_w + 2 * b * hidden_dim * 4
+                + 2 * b * stream_cols * es) <= 12 * 1024 * 1024
 
-        bchunk = batch
-        # halving must preserve the sublane constraint (batch % 8 == 0 is a
-        # hard Mosaic gate elsewhere in this module) — e.g. 144 may halve to
-        # 72 but never to 36
-        while bchunk > 8 and (bchunk // 2) % 8 == 0 and not _fits(bchunk):
-            bchunk //= 2
-        if bchunk < batch:
-            parts = [
-                _backward_pallas(w_hh, mask[:, i:i + bchunk],
-                                 gates[:, i:i + bchunk],
-                                 cs[:, i:i + bchunk], c_prev[:, i:i + bchunk],
-                                 d_hs[:, i:i + bchunk], interpret,
-                                 reverse=reverse)
-                for i in range(0, batch, bchunk)
-            ]
-            return jnp.concatenate(parts, axis=1)
+    bchunk = batch
+    # halving must preserve the sublane constraint (batch % 8 == 0 is a
+    # hard Mosaic gate elsewhere in this module) — e.g. 144 may halve to
+    # 72 but never to 36
+    while bchunk > 8 and (bchunk // 2) % 8 == 0 and not _fits(bchunk):
+        bchunk //= 2
+    if bchunk < batch:
+        parts = [
+            _backward_pallas(w_hh, mask[:, i:i + bchunk],
+                             gates[:, i:i + bchunk],
+                             cs[:, i:i + bchunk], c_prev[:, i:i + bchunk],
+                             d_hs[:, i:i + bchunk], interpret,
+                             reverse=reverse)
+            for i in range(0, batch, bchunk)
+        ]
+        return jnp.concatenate(parts, axis=1)
 
     # streams: gates 4H + cs H + cp H + dy H + mask 1 in, dpre 4H out
     k_block = _pick_k_block(

@@ -317,3 +317,67 @@ def test_route_registry_distinguishes_decoders():
     assert len(report) == 2          # both entries survive
     assert all("[" in k for k in report)   # disambiguated labels
     las_mod._DECODE_ROUTES.clear()
+
+
+def _setup_scaled(batch=8, enc_t=64, label=4):
+    """The SCALED arch's speller dims (configs/scaled-las.yml): h1=1024 is
+    the one decoder width the small-dim tests above never reach, and it
+    routes pick_chunk through the h1>512 hard cap (bb=8)."""
+    cfg = SpellerConfig(
+        enc_out_dim=2048, att_proj_dim=256, att_heads=4, dec_vocab_size=30,
+        dec_emb_dim=512, dec_lstm_hid_dim=1024, dec_lstm_out_dim=256,
+        dec_lstm_dropout=0.0, CHR_MAX_STEPS=6,
+    )
+    params = speller_init(jax.random.key(20), cfg)
+    rng = np.random.default_rng(20)
+    enc_h = jnp.asarray(
+        rng.normal(size=(batch, enc_t, 2048)).astype(np.float32) * 0.1)
+    enc_l = jnp.asarray(
+        rng.integers(enc_t // 2, enc_t + 1, size=(batch,)).astype(np.int32))
+    dec_y = jnp.asarray(
+        rng.integers(0, 30, size=(batch, label)).astype(np.int32))
+    ly = jnp.asarray(
+        rng.integers(1, label + 1, size=(batch,)).astype(np.int32))
+    return cfg, params, enc_h, enc_l, dec_y, ly
+
+
+def test_fused_forward_matches_scan_scaled_dims():
+    cfg, params, enc_h, enc_l, dec_y, _ = _setup_scaled()
+    key = jax.random.key(42)
+    out_scan = speller_apply(params, cfg, key, enc_h, enc_l, dec_y,
+                             tf_rate=0.7, train=True)
+    out_fused = speller_apply_fused(params, cfg, key, enc_h, enc_l, dec_y,
+                                    tf_rate=0.7, train=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_fused.logits),
+                               np.asarray(out_scan.logits), atol=5e-5)
+    # eval free-run at the same dims (the dev-set decode the scaled
+    # convergence certificate depends on)
+    ev_scan = speller_apply(params, cfg, None, enc_h, enc_l, None,
+                            train=False)
+    ev_fused = speller_apply_fused(params, cfg, None, enc_h, enc_l, None,
+                                   train=False, interpret=True)
+    np.testing.assert_allclose(np.asarray(ev_fused.logits),
+                               np.asarray(ev_scan.logits), atol=5e-5)
+
+
+def test_fused_grads_match_scan_scaled_dims():
+    cfg, params, enc_h, enc_l, dec_y, ly = _setup_scaled()
+    key = jax.random.key(17)
+
+    def loss_scan(p, eh):
+        out = speller_apply(p, cfg, key, eh, enc_l, dec_y, tf_rate=0.7,
+                            train=True)
+        return masked_ce_loss(out.logits, dec_y, ly)[0]
+
+    def loss_fused(p, eh):
+        out = speller_apply_fused(p, cfg, key, eh, enc_l, dec_y, tf_rate=0.7,
+                                  train=True, interpret=True)
+        return masked_ce_loss(out.logits, dec_y, ly)[0]
+
+    g1, ge1 = jax.grad(loss_scan, argnums=(0, 1))(params, enc_h)
+    g2, ge2 = jax.grad(loss_fused, argnums=(0, 1))(params, enc_h)
+    f1, _ = jax.flatten_util.ravel_pytree(g1)
+    f2, _ = jax.flatten_util.ravel_pytree(g2)
+    assert float(jnp.linalg.norm(f1)) > 1e-3
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ge2), np.asarray(ge1), atol=2e-5)
