@@ -67,7 +67,8 @@ ARCHS = {
 def make_config(data_dir: str, exp_dir: str, epochs: int,
                 batch_size: int = 32, arch: str = "small",
                 lstm_impl: str = "scan", decoder_impl: str = "scan",
-                max_steps: int = 120, init_force: bool = False) -> dict:
+                max_steps: int = 120, init_force: bool = False,
+                lr: float = 0.002) -> dict:
     a = ARCHS[arch]
     return {
         "TRN_FOLDER": os.path.join(data_dir, "train-clean-100"),
@@ -108,7 +109,7 @@ def make_config(data_dir: str, exp_dir: str, epochs: int,
             },
         },
         "optimizer": {"name": "adamw",
-                      "configs": {"lr": 0.002, "weight_decay": 1e-6,
+                      "configs": {"lr": lr, "weight_decay": 1e-6,
                                   "amsgrad": True}},
         "batch_scheduler": {"use": False, "configs": {}},
         "epoch_scheduler": {"use": True},
@@ -133,6 +134,8 @@ def main():
                         default="scan")
     parser.add_argument("--max-steps", type=int, default=120,
                         help="eval free-run decode cap (>= max label length)")
+    parser.add_argument("--lr", type=float, default=0.002,
+                        help="AdamW learning rate (wide archs want lower)")
     parser.add_argument("--init-force", action="store_true",
                         help="block-diagonal attention prior for early epochs "
                              "(the reference's alignment aid; long utterances)")
@@ -141,7 +144,7 @@ def main():
     exp_dir = args.exp_dir or tempfile.mkdtemp(prefix="synth-exp-")
     cfg = make_config(args.data_dir, exp_dir, args.epochs, args.batch_size,
                       args.arch, args.lstm_impl, args.decoder_impl,
-                      args.max_steps, args.init_force)
+                      args.max_steps, args.init_force, args.lr)
     cfg_path = os.path.join(exp_dir, "synth-config.yml")
     os.makedirs(exp_dir, exist_ok=True)
     with open(cfg_path, "w") as fh:
