@@ -130,8 +130,14 @@ def load_checkpoint(path: str) -> dict:
     reference's files directly.
     """
     with open(path, "rb") as fh:
-        magic = fh.read(2)
-    if magic != b"PK":  # not a zip: our legacy pickle OR torch legacy pickle
+        head = fh.read(3)
+    if head[:2] != b"PK":  # not a zip: our legacy pickle OR torch legacy
+        # torch's legacy (pre-1.6) serialization is a STREAM of pickles led
+        # by torch.serialization.MAGIC_NUMBER as a protocol-2 LONG1 — detect
+        # it from the raw header so the untrusted file is never unpickled
+        # (it goes through torch.load(weights_only=True) instead)
+        if head == b"\x80\x02\x8a":
+            return _load_torch_checkpoint(path)
         import pickle
 
         warnings.warn(
@@ -142,8 +148,7 @@ def load_checkpoint(path: str) -> dict:
         with open(path, "rb") as fh:
             loaded = pickle.load(fh)
         if isinstance(loaded, int):
-            # torch's legacy (pre-1.6) serialization is a STREAM of pickles
-            # led by a magic long — a single pickle.load yields that int
+            # torch legacy stream whose header pickle used another protocol
             return _load_torch_checkpoint(path)
         if isinstance(loaded, dict) and "params" not in loaded and (
                 "model_state_dict" in loaded or any(
@@ -181,9 +186,22 @@ def list_best_checkpoints(ckpt_dir: str) -> List[str]:
     (src/train.py:362) so an untouched reference experiment folder is
     directly consumable by infer/serving/export. Crash saves
     (``emergency-*``) and a previous run's ``avg-all.*`` are excluded.
+    A ``.pt`` whose same-stem ``.ckpt`` twin exists (the explicit
+    ``import_reference_ckpt.py`` workflow leaves both) is skipped — run_avg
+    must not average the same epoch twice — and ``.pt`` files are only
+    listed when torch is importable (they need it to load).
     """
-    return sorted(f for f in os.listdir(ckpt_dir)
-                  if f.startswith("min") and f.endswith((".ckpt", ".pt")))
+    names = [f for f in os.listdir(ckpt_dir)
+             if f.startswith("min") and f.endswith((".ckpt", ".pt"))]
+    if any(f.endswith(".pt") for f in names):
+        import importlib.util
+
+        if importlib.util.find_spec("torch") is None:
+            names = [f for f in names if not f.endswith(".pt")]
+    ckpt_stems = {os.path.splitext(f)[0] for f in names
+                  if f.endswith(".ckpt")}
+    return sorted(f for f in names if f.endswith(".ckpt")
+                  or os.path.splitext(f)[0] not in ckpt_stems)
 
 
 def average_checkpoints(paths: List[str]) -> dict:

@@ -518,3 +518,48 @@ def test_infer_cli_runs_on_reference_experiment_folder(tmp_path):
     legal = set("".join(k for k in VOCAB_MAP if len(k) == 1))
     for s in df["label"].fillna(""):
         assert set(str(s)) <= legal
+
+
+def test_torch_legacy_pt_never_unpickled(tmp_path):
+    """Header-byte detection routes torch legacy files to the weights_only
+    loader WITHOUT a raw pickle.load, and without the 'legacy pickle'
+    trust warning meant for our own deprecated format."""
+    import warnings as warnings_mod
+
+    from attention_based_e2e_asr_dnn_tpu.training.checkpoints import (
+        load_checkpoint,
+    )
+
+    sd = make_ref_las_state_dict()
+    pt = tmp_path / "old.pt"
+    torch.save({"model_state_dict": sd}, pt,
+               _use_new_zipfile_serialization=False)
+    with open(pt, "rb") as fh:
+        assert fh.read(3) == b"\x80\x02\x8a"  # the signature we key on
+    with warnings_mod.catch_warnings(record=True) as caught:
+        warnings_mod.simplefilter("always")
+        payload = load_checkpoint(str(pt))
+    messages = [str(w.message) for w in caught]
+    assert any("reference PyTorch checkpoint" in m for m in messages)
+    assert not any("legacy pickle checkpoint" in m for m in messages)
+    assert payload["torch_import"] == "las"
+
+
+def test_list_best_checkpoints_dedupes_converted_twins(tmp_path):
+    """A .pt alongside its imported same-stem .ckpt must list once (the
+    .ckpt), or run_avg would average the same epoch twice."""
+    from attention_based_e2e_asr_dnn_tpu.training.checkpoints import (
+        list_best_checkpoints,
+        save_checkpoint,
+    )
+
+    sd = make_ref_las_state_dict()
+    torch.save({"model_state_dict": sd}, tmp_path / "min-ld-epoch[3].pt")
+    torch.save({"model_state_dict": sd}, tmp_path / "min-ld-epoch[5].pt")
+    params = compat.las_params_from_state_dict(sd)
+    save_checkpoint(str(tmp_path / "min-ld-epoch[3].ckpt"),
+                    {"params": params, "epoch": 3, "batch": 0})
+    (tmp_path / "emergency-epoch[4].ckpt").write_bytes(b"x")
+    (tmp_path / "avg-all.ckpt").write_bytes(b"x")
+    assert list_best_checkpoints(str(tmp_path)) == [
+        "min-ld-epoch[3].ckpt", "min-ld-epoch[5].pt"]
