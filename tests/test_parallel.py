@@ -404,3 +404,40 @@ def test_lmtrain_rejects_las_only_parallel_modes(tmp_path):
         with pytest.raises(ValueError, match=match):
             lmtrain_mod.main(
                 lmtrain_mod.build_argparser().parse_args(["-c", cfg_path]))
+
+
+def test_train_cli_scaled_arch_dp(tmp_path):
+    """BASELINE.json config #5 verbatim: the SCALED arch (1024 hid,
+    multi-head attention, bf16, remat) training data-parallel across a
+    mesh, through the train CLI. DP-vs-plain loss parity is already pinned
+    at base dims above; this asserts the scaled composition runs and
+    produces finite loss/metrics end-to-end (one epoch incl. the eval
+    free-run at 1024-wide)."""
+    import yaml
+
+    from tests.test_e2e_pipeline import _make_dataset, _train_config
+    from attention_based_e2e_asr_dnn_tpu import train as train_mod
+
+    root = str(tmp_path / "data")
+    _make_dataset(root, n=8)
+
+    exp_dir = str(tmp_path / "exp-dp")
+    cfg = _train_config(root, exp_dir)
+    cfg["epochs"] = 1
+    cfg["batch_size"] = 8
+    cfg["tf_rate"] = 1.0
+    cfg["compute_dtype"] = "bfloat16"
+    cfg["model"]["configs"]["listener_configs"].update(
+        uniform_hid_dim=1024, lstm_layers=1, plstm_layers=1, remat=True)
+    cfg["model"]["configs"]["speller_configs"].update(
+        att_proj_dim=256, att_heads=4, dec_emb_dim=512,
+        dec_lstm_hid_dim=1024, dec_lstm_out_dim=256, CHR_MAX_STEPS=8)
+    cfg["parallel"] = {"use": True, "data": 2}
+    cfg_path = str(tmp_path / "cfg-dp.yml")
+    with open(cfg_path, "w") as fh:
+        yaml.safe_dump(cfg, fh)
+    trainer = train_mod.main(
+        train_mod.build_argparser().parse_args(["-c", cfg_path]))
+    losses = trainer.train_history["loss"]
+    assert losses and np.all(np.isfinite(losses))
+    assert np.all(np.isfinite(trainer.dev_history["ld"]))
