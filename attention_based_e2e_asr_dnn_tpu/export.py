@@ -68,6 +68,7 @@ def export_las_decoder(
     length_alpha: float = 0.0,
     max_len_factor: float = 3.0,
     data_parallel: int = 1,
+    quantize: Optional[str] = None,
     platforms: Sequence[str] = ("tpu", "cpu"),
 ) -> dict:
     """Build the artifact dict for one (batch, t_pad) decode bucket.
@@ -79,6 +80,10 @@ def export_las_decoder(
     'dp' mesh (params replicated, batch split — serving.Transcriber's
     data_parallel layout): the artifact then requires N devices at run
     time and decodes its bucket N-way in one dispatch.
+
+    ``quantize="int8"`` stores the large weight matrices int8 + per-channel
+    scales and bakes the dequantize into the program prologue (see
+    quantize.py — artifact/upload size win, NOT a compute-speed claim).
     """
     import jax.numpy as jnp
     from jax import export as jexport
@@ -121,6 +126,22 @@ def export_las_decoder(
         )
 
     params = jax.tree.map(np.asarray, params)
+    if quantize is not None:
+        if quantize != "int8":
+            raise ValueError(
+                f"quantize={quantize!r}: only 'int8' is supported")
+        from attention_based_e2e_asr_dnn_tpu.quantize import (
+            dequantize_tree,
+            quantize_tree,
+        )
+
+        params = quantize_tree(params)
+        inner_step = step
+
+        @jax.jit
+        def step(qp, x, lx):
+            return inner_step(dequantize_tree(qp), x, lx)
+
     if data_parallel > 1:
         if batch % data_parallel:
             raise ValueError(f"batch {batch} not divisible by "
@@ -162,6 +183,7 @@ def export_las_decoder(
         "length_alpha": float(length_alpha),
         "max_steps": int(las_cfg.speller.CHR_MAX_STEPS),
         "data_parallel": int(data_parallel),
+        "quantize": quantize or "none",
         "platforms": list(platforms),
     }
     return {"meta": meta, "params": params, "mlir": exported.serialize()}
@@ -182,6 +204,7 @@ def export_rewriter_corrector(
     length_alpha: float = 0.0,
     max_len_factor: float = 3.0,
     gate: bool = True,
+    quantize: Optional[str] = None,
     platforms: Sequence[str] = ("tpu", "cpu"),
 ) -> dict:
     """Artifact for the Rewriter correction chain: text ids in, rewrite ids
@@ -201,6 +224,17 @@ def export_rewriter_corrector(
             f"pad granularity, decoding/rescore.py::gate_corrections)")
     cdt = jnp.dtype(compute_dtype)
     params = jax.tree.map(np.asarray, params)
+    _dq = None
+    if quantize is not None:
+        if quantize != "int8":
+            raise ValueError(
+                f"quantize={quantize!r}: only 'int8' is supported")
+        from attention_based_e2e_asr_dnn_tpu.quantize import (
+            dequantize_tree as _dq,
+            quantize_tree,
+        )
+
+        params = quantize_tree(params)
     p_spec = jax.tree.map(
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)
     x_spec = jax.ShapeDtypeStruct((batch, t_pad), np.int32)
@@ -237,6 +271,13 @@ def export_rewriter_corrector(
         step = make_rewriter_greedy_step(
             lm_cfg, compute_dtype=cdt, max_len_factor=max_len_factor)
 
+    if _dq is not None:
+        inner_step = step
+
+        @jax.jit
+        def step(qp, x, lx):
+            return inner_step(_dq(qp), x, lx)
+
     exported = jexport.export(step, platforms=list(platforms))(
         p_spec, x_spec, lx_spec)
 
@@ -255,6 +296,7 @@ def export_rewriter_corrector(
             "length_alpha": float(length_alpha),
             "max_steps": int(lm_cfg.CHR_MAX_STEPS),
             "gate": bool(gate),
+            "quantize": quantize or "none",
             "platforms": list(platforms),
         },
         "params": params,
@@ -275,6 +317,13 @@ def export_rewriter_corrector(
         # gate_corrections scores the correction AND the re-generated input
         # in ONE stacked dispatch -> the scorer's static batch is 2B
         scorer = make_rewriter_scorer(lm_cfg, compute_dtype=cdt)
+        if _dq is not None:
+            inner_scorer = scorer
+
+            @jax.jit
+            def scorer(qp, c, cl, s, sl):
+                return inner_scorer(_dq(qp), c, cl, s, sl)
+
         s2 = jax.ShapeDtypeStruct((2 * batch, score_width), np.int32)
         l2 = jax.ShapeDtypeStruct((2 * batch,), np.int32)
         artifact["mlir_scorer"] = jexport.export(
@@ -669,6 +718,7 @@ def export_from_experiment(
     length_alpha: float = 0.0,
     max_len_factor: float = 3.0,
     data_parallel: int = 1,
+    quantize: Optional[str] = None,
     platforms: Sequence[str] = ("tpu", "cpu"),
 ) -> str:
     """config.json + best/averaged checkpoint -> one ``.tlas`` artifact.
@@ -693,7 +743,7 @@ def export_from_experiment(
         compute_dtype=getattr(snap, "compute_dtype", "float32"),
         beam_size=beam_size, length_alpha=length_alpha,
         max_len_factor=max_len_factor, data_parallel=data_parallel,
-        platforms=platforms,
+        quantize=quantize, platforms=platforms,
     )
     return save_artifact(out_path, artifact)
 
@@ -709,6 +759,7 @@ def export_corrector_from_experiment(
     length_alpha: float = 0.0,
     max_len_factor: float = 3.0,
     gate: bool = True,
+    quantize: Optional[str] = None,
     platforms: Sequence[str] = ("tpu", "cpu"),
 ) -> str:
     """Rewriter (LM) experiment -> one correction ``.tlas`` artifact.
@@ -730,6 +781,7 @@ def export_corrector_from_experiment(
         eos_idx=constants.EOS_IDX, pad_idx=constants.PAD_IDX,
         compute_dtype=getattr(snap, "compute_dtype", "float32"),
         beam_size=beam_size, length_alpha=length_alpha,
-        max_len_factor=max_len_factor, gate=gate, platforms=platforms,
+        max_len_factor=max_len_factor, gate=gate, quantize=quantize,
+        platforms=platforms,
     )
     return save_artifact(out_path, artifact)
