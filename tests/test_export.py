@@ -219,6 +219,11 @@ def test_corrector_export_matches_serving_corrector(tmp_path):
     out2 = str(tmp_path / "cli-corr.tlas")
     assert cli.main([exp, "-o", out2, "--model", "rewriter", "--batch", "2",
                      "--t-pad", "32", "--platforms", "cpu", "--check"]) == 0
+    # quantized --check stays strict: exact vs the dequantized tree
+    out3 = str(tmp_path / "cli-corr-q8.tlas")
+    assert cli.main([exp, "-o", out3, "--model", "rewriter", "--batch", "2",
+                     "--t-pad", "32", "--platforms", "cpu",
+                     "--quantize", "int8", "--check"]) == 0
 
 
 def test_data_parallel_export_matches_single_device(tmp_path):
@@ -435,3 +440,9 @@ def test_export_from_experiment_and_cli(tmp_path):
     assert cli.main([str(exp), "-o", out2, "--batch", "2", "--t-pad", "16",
                      "--platforms", "cpu", "--check"]) == 0
     assert os.path.exists(out2)
+    # quantized --check: exact ids vs the in-process step on the artifact's
+    # own dequantized tree (advisor round-3 medium finding)
+    out3 = str(tmp_path / "cli-q8.tlas")
+    assert cli.main([str(exp), "-o", out3, "--batch", "2", "--t-pad", "16",
+                     "--platforms", "cpu", "--quantize", "int8",
+                     "--check"]) == 0

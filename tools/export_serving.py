@@ -80,14 +80,33 @@ def main(argv=None) -> int:
                              max_len_factor=args.max_len_factor,
                              gate=not args.no_gate, batch_size=args.batch)
             texts = ["HELLO WORLD", "THE CAT SAT", "A"]
-            got = ExportedCorrector(path).correct(texts)
-            want = corr.correct(texts)
+            exported = ExportedCorrector(path)
+            got = exported.correct(texts)
             if args.quantize:
-                # quantized weights are a different model: report agreement
-                n_same = sum(g == w for g, w in zip(got, want))
-                print(f"check (quantized): {n_same}/{len(texts)} corrections "
-                      f"match the full-precision in-process Corrector")
-            elif got != want:
+                # the artifact's only behavior delta vs in-process is the
+                # bounded weight rounding: rerun the in-process Corrector on
+                # the artifact's own dequantized tree — parity is exact
+                # (tests/test_quantize.py proves this for the program), so a
+                # mismatch here is a real export bug, not quantization noise
+                import jax
+                import jax.numpy as jnp
+
+                from attention_based_e2e_asr_dnn_tpu.quantize import (
+                    dequantize_tree,
+                )
+
+                corr.params = jax.tree.map(
+                    jnp.asarray, dequantize_tree(exported.params))
+                want = corr.correct(texts)
+                if got != want:
+                    print(f"check FAILED (quantized): artifact corrections "
+                          f"{got!r} != in-process on the dequantized tree "
+                          f"{want!r}")
+                    return 1
+                print(f"check: quantized artifact matches the in-process "
+                      f"Corrector on its dequantized weights exactly "
+                      f"({len(texts)} texts)")
+            elif got != (want := corr.correct(texts)):
                 print(f"check FAILED: artifact corrections {got!r} != "
                       f"in-process {want!r}")
                 return 1
@@ -132,7 +151,18 @@ def main(argv=None) -> int:
             snap.model.configs["listener_configs"],
             snap.model.configs["speller_configs"])
         cdt = jnp.dtype(getattr(snap, "compute_dtype", "float32"))
-        params = jax.tree.map(jnp.asarray, payload["params"])
+        if args.quantize:
+            # compare against the in-process step on the artifact's OWN
+            # dequantized tree: the quantized program equals that exactly
+            # (tests/test_quantize.py::test_quantized_artifact_program_parity
+            # _and_size), so this check stays strict under --quantize
+            from attention_based_e2e_asr_dnn_tpu.quantize import (
+                dequantize_tree,
+            )
+
+            params = jax.tree.map(jnp.asarray, dequantize_tree(dec.params))
+        else:
+            params = jax.tree.map(jnp.asarray, payload["params"])
         if args.beam_size > 1:
             from attention_based_e2e_asr_dnn_tpu.decoding.beam import (
                 make_las_beam_step,
