@@ -141,6 +141,21 @@ def main(args):
                 "sharding hook on the Rewriter)")
         model_par = int(getattr(par, "model", 1) or 1)
         if model_par > 1:
+            # same TP x Pallas boundary as train.py: TP shards the gate
+            # matrices, which the fused kernels cannot consume sharded
+            _pallas_flags = [
+                name for name, v in (
+                    ("lstm_impl", getattr(lm_cfg, "lstm_impl", "scan")),
+                    ("decoder_impl", getattr(lm_cfg, "decoder_impl",
+                                             "scan")),
+                ) if v == "pallas"]
+            if _pallas_flags:
+                raise ValueError(
+                    f"parallel: model={model_par} (tensor parallelism) "
+                    f"requires the scan implementations, but "
+                    f"{' and '.join(_pallas_flags)} is 'pallas'. Use scan "
+                    "impls with parallel.model, or keep the Pallas tiers "
+                    "and scale with parallel.data.")
             mesh = make_mesh_2d(getattr(par, "data", None), model_par)
             shard_state = lambda s: shard_train_state(s, mesh)
             print(f"[parallel] 2-D mesh: data={mesh.shape['data']} x "

@@ -185,6 +185,31 @@ def main(args):
         model_par = int(getattr(par, "model", 1) or 1)
         pipeline_mb = int(getattr(par, "pipeline", 0) or 0)
         seq_par = int(getattr(par, "sequence", 0) or 0)
+        if model_par > 1:
+            # Tensor parallelism column-shards the LSTM gate matrices
+            # (w_ih/w_hh — parallel/mesh.py::model_parallel_placement), but
+            # GSPMD cannot partition a pallas_call over sharded operands:
+            # on a real mesh it either fails Mosaic compilation or silently
+            # all-gathers every shard per device, destroying TP's memory
+            # benefit. Only the scan implementations compose with TP
+            # (docs/parallelism.md "Composition status").
+            _pallas_flags = [
+                name for name, v in (
+                    ("listener_configs.lstm_impl",
+                     getattr(las_cfg.listener, "lstm_impl", "scan")),
+                    ("speller_configs.decoder_impl",
+                     getattr(las_cfg.speller, "decoder_impl", "scan")),
+                ) if v == "pallas"]
+            if _pallas_flags:
+                raise ValueError(
+                    f"parallel: model={model_par} (tensor parallelism) "
+                    f"requires the scan implementations, but "
+                    f"{' and '.join(_pallas_flags)} is 'pallas'. TP shards "
+                    "the LSTM gate matrices, which a fused Pallas kernel "
+                    "cannot consume sharded. Use the scan impls with "
+                    "parallel.model, or keep the Pallas tiers and scale "
+                    "with parallel.data (DP composes with both kernel "
+                    "tiers).")
         if seq_par > 1:
             # sequence parallelism: the attention K/V time axis shards over
             # the mesh's 'seq' axis. A sharding constraint on the encoder
