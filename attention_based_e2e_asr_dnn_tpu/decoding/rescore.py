@@ -28,15 +28,11 @@ from attention_based_e2e_asr_dnn_tpu.ops.lstm import lstm_cell_step
 from attention_based_e2e_asr_dnn_tpu.ops.precision import matmul_precision
 
 
-def speller_forced_logprob(params: dict, cfg, enc_h, enc_l, cand, lc):
-    """Avg log p(cand | enc) per char under an always-teacher-forced decode.
-
-    ``cand`` (B, L) int32 in the training label layout ([SOS, chars..., EOS,
-    pad...]); ``lc`` (B,) counts the real positions (incl. SOS and EOS).
-    Returns (B,) float32: mean over the first ``lc`` positions of the
-    log-prob the model assigns to each candidate token given the *candidate*
-    prefix (position 0 conditions on the SOS start token, like training).
-    """
+def speller_forced_token_logprobs(params: dict, cfg, enc_h, enc_l, cand):
+    """Per-position log p(cand[t] | cand[<t], enc) under an always-forced
+    decode — the (B, L) token-level view behind
+    :func:`speller_forced_logprob`. Position 0 conditions on SOS (training
+    layout); no length masking (callers mask with their own ``lc``)."""
     batch, steps = cand.shape
     dtype = enc_h.dtype
     emb = params["char_emb"].astype(dtype)
@@ -84,7 +80,20 @@ def speller_forced_logprob(params: dict, cfg, enc_h, enc_l, cand, lc):
     )
     logits = jnp.swapaxes(logits_t, 0, 1)                      # (B, L, V)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    tok_lp = jnp.take_along_axis(logp, cand[..., None], axis=-1)[..., 0]
+    return jnp.take_along_axis(logp, cand[..., None], axis=-1)[..., 0]
+
+
+def speller_forced_logprob(params: dict, cfg, enc_h, enc_l, cand, lc):
+    """Avg log p(cand | enc) per char under an always-teacher-forced decode.
+
+    ``cand`` (B, L) int32 in the training label layout ([SOS, chars..., EOS,
+    pad...]); ``lc`` (B,) counts the real positions (incl. SOS and EOS).
+    Returns (B,) float32: mean over the first ``lc`` positions of the
+    log-prob the model assigns to each candidate token given the *candidate*
+    prefix (position 0 conditions on the SOS start token, like training).
+    """
+    steps = cand.shape[1]
+    tok_lp = speller_forced_token_logprobs(params, cfg, enc_h, enc_l, cand)
     mask = (jnp.arange(steps)[None, :] < lc[:, None]).astype(jnp.float32)
     return (tok_lp * mask).sum(axis=1) / jnp.maximum(lc, 1).astype(jnp.float32)
 
@@ -115,6 +124,108 @@ def make_rewriter_scorer(lm_cfg, compute_dtype=jnp.float32):
                                       enc_l, cand, lc)
 
     return score
+
+
+def make_rewriter_token_scorer(lm_cfg, compute_dtype=jnp.float32):
+    """Jitted ``(params, x, lx, cand) -> (B, L) per-token log-probs``.
+
+    Scoring the INPUT as its own candidate (``cand = x``) yields the
+    corrector's per-character confidence in the input prediction — the
+    signal that picks the anchored-rewrite split point (VERDICT r3 #7:
+    "restrict rewrites to low-confidence spans scored by the forced
+    decoder")."""
+    from attention_based_e2e_asr_dnn_tpu.ops.lstm import (
+        locked_lstm_stack_apply,
+    )
+
+    sp_cfg = lm_cfg.speller_config()
+
+    @jax.jit
+    def score_tokens(params, x, lx, cand):
+        emb = params["decoder"]["char_emb"].astype(compute_dtype)
+        enc_h, enc_l = locked_lstm_stack_apply(
+            params["encoder"], None, emb[x], lx,
+            init_dropout=0.0, mid_dropout=0.0, bidirectional=True,
+            train=False, impl=lm_cfg.lstm_impl,
+        )
+        return speller_forced_token_logprobs(params["decoder"], sp_cfg,
+                                             enc_h, enc_l, cand)
+
+    return score_tokens
+
+
+def candidates_to_layout(cand_ids, eos_idx: int, sos_idx: int,
+                         min_width: int, pad_multiple: int = 32):
+    """Raw decoder output rows (chars then EOS/PAD tail) -> training label
+    layout ([SOS, chars..., EOS, EOS-pad...]). Returns (cand (B, W) int32,
+    lc (B,) int32); W covers ``min_width`` rounded up to ``pad_multiple``."""
+    import numpy as np
+
+    cand_ids = np.asarray(cand_ids)
+    batch = cand_ids.shape[0]
+    rows, lc = [], np.zeros((batch,), np.int32)
+    for b in range(batch):
+        row = cand_ids[b]
+        stop = np.argmax(row == eos_idx) if (row == eos_idx).any() else len(row)
+        trimmed = [t for t in row[:stop].tolist() if t != sos_idx]
+        rows.append([sos_idx] + trimmed + [eos_idx])
+        lc[b] = len(rows[-1])
+    width = max(int(lc.max()), int(min_width))
+    width = -(-width // pad_multiple) * pad_multiple
+    cand = np.full((batch, width), eos_idx, np.int32)
+    for b, row in enumerate(rows):
+        cand[b, : len(row)] = row
+    return cand, lc
+
+
+def select_among_candidates(scorer, params, x, lx, cand_ids_list,
+                            eos_idx: int, sos_idx: int,
+                            pad_multiple: int = 32):
+    """Score N rewrite candidates + the input in ONE stacked dispatch and
+    pick, per utterance, the candidate the model likes best.
+
+    ``cand_ids_list``: list of (B, steps_i) raw decoder outputs (e.g. the
+    full rewrite plus prefix-anchored rewrites at several split policies).
+    Returns (best_ids (B, W) int32 in training layout, best_lc (B,),
+    margins (B,) = score(best) - score(input)). The never-worse gate then
+    applies its (possibly fitted) threshold to ``margins`` exactly as it
+    does for the single-candidate chain — candidate sets only widen the
+    search, the safety story is unchanged.
+    """
+    import numpy as np
+
+    x = np.asarray(x)
+    lx = np.asarray(lx)
+    batch = x.shape[0]
+    n_cand = len(cand_ids_list)
+
+    layouts = [candidates_to_layout(c, eos_idx, sos_idx, x.shape[1],
+                                    pad_multiple) for c in cand_ids_list]
+    width = max(c.shape[1] for c, _ in layouts)
+    stacked = np.full(((n_cand + 1) * batch, width), eos_idx, np.int32)
+    lens = np.zeros(((n_cand + 1) * batch,), np.int32)
+    for i, (cand, lc) in enumerate(layouts):
+        stacked[i * batch : (i + 1) * batch, : cand.shape[1]] = cand
+        lens[i * batch : (i + 1) * batch] = lc
+    stacked[n_cand * batch :, : x.shape[1]] = x      # the input as candidate
+    lens[n_cand * batch :] = lx
+
+    x_rep = np.concatenate([x] * (n_cand + 1), 0)
+    lx_rep = np.concatenate([lx] * (n_cand + 1), 0)
+    scores = np.asarray(scorer(params, x_rep, lx_rep, stacked, lens))
+    cand_scores = scores[: n_cand * batch].reshape(n_cand, batch)
+    input_scores = scores[n_cand * batch :]
+
+    best = np.argmax(cand_scores, axis=0)                      # (B,)
+    margins = cand_scores[best, np.arange(batch)] - input_scores
+    best_ids = np.stack([layouts[best[b]][0][b] if layouts[best[b]][0].shape[1] == width
+                         else np.concatenate([layouts[best[b]][0][b],
+                                              np.full((width - layouts[best[b]][0].shape[1],),
+                                                      eos_idx, np.int32)])
+                         for b in range(batch)])
+    best_lc = np.array([layouts[best[b]][1][b] for b in range(batch)],
+                       np.int32)
+    return best_ids, best_lc, margins
 
 
 def fit_margin(margins, ld_inputs, ld_corrected):
@@ -172,22 +283,12 @@ def gate_corrections(scorer, params, x, lx, corrected_ids, eos_idx: int,
 
     x = np.asarray(x)
     lx = np.asarray(lx)
-    corrected = np.asarray(corrected_ids)
     batch = x.shape[0]
 
     # corrected candidate in the training label layout: SOS + trimmed + EOS
-    cand_rows, lc = [], np.zeros((batch,), np.int32)
-    for b in range(batch):
-        row = corrected[b]
-        stop = np.argmax(row == eos_idx) if (row == eos_idx).any() else len(row)
-        trimmed = [t for t in row[:stop].tolist() if t != sos_idx]
-        cand_rows.append([sos_idx] + trimmed + [eos_idx])
-        lc[b] = len(cand_rows[-1])
-    width = max(int(lc.max()), int(x.shape[1]))
-    width = -(-width // pad_multiple) * pad_multiple
-    cand = np.full((batch, width), eos_idx, np.int32)
-    for b, row in enumerate(cand_rows):
-        cand[b, : len(row)] = row
+    cand, lc = candidates_to_layout(corrected_ids, eos_idx, sos_idx,
+                                    x.shape[1], pad_multiple)
+    width = cand.shape[1]
     x_wide = np.full((batch, width), eos_idx, np.int32)
     x_wide[:, : x.shape[1]] = x
 

