@@ -39,82 +39,143 @@ def _span_anchor_lengths(token_scorer, params, x, lx, conf_tau: float,
                          fracs) -> list:
     """Anchor-length policies for the span-rewrite candidate set.
 
-    Confidence policy: score the INPUT as its own forced candidate and
-    anchor on the prefix before the first character whose per-token
-    probability drops below ``conf_tau`` (VERDICT r3 #7's low-confidence
-    spans). Fraction policies: fixed fractions of each row's char count.
-    Returns a list of (B,) int32 anchor CHAR counts (0 = full rewrite)."""
+    Confidence policy ("conf"): score the INPUT as its own forced candidate
+    and anchor before the first low-confidence REGION — the per-token
+    log-probs smoothed with a W=8 moving mean (single bad characters are
+    everywhere in a mid-regime input; an isolated dip is not a span
+    boundary), first smoothed position under ``log(conf_tau)``, backed off 2
+    chars. Fraction policies ("f25"…): fixed fractions of each row's char
+    count — measured at the mid-regime operating point, errors concentrate
+    in the tail (LAS attention degrades with decode depth), so large
+    anchors are strong candidates. Returns [(name, (B,) int32 anchor char
+    counts)]; 0 = full rewrite."""
     tok_lp = np.asarray(token_scorer(params, x, lx, x))      # (B, W)
     batch, width = tok_lp.shape
     n_chars = np.maximum(lx - 2, 0)                          # minus SOS/EOS
-    # candidate position j >= 1 scores char j-1; confident prefix = chars
-    # before the first sub-threshold position
-    low = tok_lp < np.log(conf_tau)
-    low[:, 0] = False                                        # SOS slot
-    char_pos = np.arange(width)[None, :] - 1
-    low &= (char_pos >= 0) & (char_pos < n_chars[:, None])
-    first_bad = np.where(low.any(1), low.argmax(1) - 1, n_chars)
-    policies = [np.minimum(first_bad, n_chars).astype(np.int32)]
+    # candidate position j >= 1 scores char j-1
+    char_lp = tok_lp[:, 1:]
+    win = 8
+    # forward window: smooth[:, i] = mean(char_lp[:, i : i+win]) — a dip
+    # must be a REGION starting at i, not a single character
+    csum = np.concatenate(
+        [np.zeros((batch, 1)), np.cumsum(char_lp, axis=1)], axis=1)
+    n_cols = char_lp.shape[1]
+    hi = np.minimum(np.arange(n_cols) + win, n_cols)
+    lo = np.arange(n_cols)
+    smooth = (csum[:, hi] - csum[:, lo]) / np.maximum(hi - lo, 1)
+    low = smooth < np.log(conf_tau)
+    char_pos = np.arange(low.shape[1])[None, :]
+    low &= char_pos < n_chars[:, None]
+    first_bad = np.where(low.any(1), np.maximum(low.argmax(1) - 2, 0),
+                         n_chars)
+    policies = [("conf", np.minimum(first_bad, n_chars).astype(np.int32))]
     for f in fracs:
-        policies.append((n_chars * float(f)).astype(np.int32))
+        policies.append((f"f{int(round(float(f) * 100)):02d}",
+                         (n_chars * float(f)).astype(np.int32)))
     return policies
 
 
-def _decode_with_scores(step, scorer, params, batcher, n_examples,
-                        span=None):
-    """Decode every utterance; returns (corrected_strs, input_strs,
-    score_margins) in dataset order. Margins are 0.0 when no scorer.
+def _decode_candidates(step, scorer, params, batcher, n_examples,
+                       span=None):
+    """Decode every utterance; returns ``(inputs, families)`` in dataset
+    order, where ``families`` maps a rewrite-policy name to
+    ``(corrected_strs, score_margins)``.
 
-    ``span`` (optional) widens each utterance's candidate set with
-    prefix-anchored rewrites (dict: anchored_step, token_scorer, conf_tau,
-    fracs) — the model then keeps its best-scoring candidate and the gate's
-    margin is measured against that choice."""
+    Plain chain: one family, ``"rewrite"`` (the free-running/beam rewrite).
+    With ``span``: prefix-anchored families from
+    :func:`_span_anchor_lengths` plus ``"free"`` and ``"best"`` (the
+    per-utterance likelihood argmax over all candidates). The gate fits its
+    threshold — and with span, CHOOSES the policy — on the labeled
+    calibration set; measured at the mid-regime operating point the forced
+    likelihood margin does not rank candidates by gain (corr ≈ -0.07: the
+    corrector overrates its own free-run trajectory), so policy choice must
+    come from calibration LD, not from the model's score.
+    """
     from attention_based_e2e_asr_dnn_tpu.decoding.rescore import (
+        candidates_to_layout,
         gate_corrections,
-        select_among_candidates,
     )
 
-    corrected = [None] * n_examples
     inputs = [None] * n_examples
-    margins = [0.0] * n_examples
+    fam_out: dict = {}
+
+    def _fam(name):
+        if name not in fam_out:
+            fam_out[name] = ([None] * n_examples, [0.0] * n_examples)
+        return fam_out[name]
+
     for bt in batcher.epoch(0):
         lx = bt.lx.astype(np.int32)
+        x = np.asarray(bt.x)
         ids = np.asarray(step(params, bt.x, lx))
+        batch_fams = {}
         if span is not None and scorer is not None:
-            anchor_ids = np.asarray(bt.x)[:, 1:].astype(np.int32)
-            cand_list = [ids]
-            for alen in _span_anchor_lengths(span["token_scorer"], params,
-                                             bt.x, lx, span["conf_tau"],
-                                             span["fracs"]):
-                cand_list.append(np.asarray(span["anchored_step"](
-                    params, bt.x, lx, anchor_ids, alen)))
-            best_ids, _, m = select_among_candidates(
-                scorer, params, bt.x, lx, cand_list, constants.EOS_IDX,
-                constants.SOS_IDX)
-            out_ids, s_margin = best_ids, m
+            anchor_ids = x[:, 1:].astype(np.int32)
+            cand = [("free", ids)]
+            for name, alen in _span_anchor_lengths(
+                    span["token_scorer"], params, bt.x, lx,
+                    span["conf_tau"], span["fracs"]):
+                cand.append((name, np.asarray(span["anchored_step"](
+                    params, bt.x, lx, anchor_ids, alen))))
+            # ONE stacked dispatch scores every candidate + the input
+            layouts = [candidates_to_layout(c, constants.EOS_IDX,
+                                            constants.SOS_IDX, x.shape[1])
+                       for _, c in cand]
+            width = max(c.shape[1] for c, _ in layouts)
+            n_c, batch = len(cand), x.shape[0]
+            stacked = np.full(((n_c + 1) * batch, width), constants.EOS_IDX,
+                              np.int32)
+            lens = np.zeros(((n_c + 1) * batch,), np.int32)
+            for i, (c, lc) in enumerate(layouts):
+                stacked[i * batch:(i + 1) * batch, : c.shape[1]] = c
+                lens[i * batch:(i + 1) * batch] = lc
+            stacked[n_c * batch:, : x.shape[1]] = x
+            lens[n_c * batch:] = lx
+            scores = np.asarray(scorer(
+                params, np.concatenate([x] * (n_c + 1), 0),
+                np.concatenate([lx] * (n_c + 1), 0), stacked, lens))
+            c_scores = scores[: n_c * batch].reshape(n_c, batch)
+            in_scores = scores[n_c * batch:]
+            for i, (name, c_ids) in enumerate(cand):
+                batch_fams[name] = (c_ids, c_scores[i] - in_scores)
+            best = np.argmax(c_scores, axis=0)
+            rows = np.arange(batch)
+            best_ids = np.stack([layouts[best[b]][0][b] for b in rows])
+            batch_fams["best"] = (best_ids, c_scores[best, rows] - in_scores)
         elif scorer is not None:
             _, s_corr, s_in = gate_corrections(
                 scorer, params, bt.x, lx, ids, constants.EOS_IDX,
                 constants.SOS_IDX, margin=0.0)
-            out_ids, s_margin = ids, s_corr - s_in
+            batch_fams["rewrite"] = (ids, s_corr - s_in)
         else:
-            out_ids, s_margin = ids, None
+            batch_fams["rewrite"] = (ids, None)
         for row, orig in enumerate(bt.indices):
             if orig >= 0:
-                corrected[orig] = ids_to_str(out_ids[row], constants.VOCAB,
-                                             constants.SOS_IDX,
-                                             constants.EOS_IDX)
-                inputs[orig] = ids_to_str(np.asarray(bt.x)[row][:lx[row]],
-                                          constants.VOCAB, constants.SOS_IDX,
+                inputs[orig] = ids_to_str(x[row][:lx[row]], constants.VOCAB,
+                                          constants.SOS_IDX,
                                           constants.EOS_IDX)
-                if s_margin is not None:
-                    margins[orig] = float(s_margin[row])
-    return corrected, inputs, margins
+                for name, (c_ids, m) in batch_fams.items():
+                    corr, marg = _fam(name)
+                    corr[orig] = ids_to_str(c_ids[row], constants.VOCAB,
+                                            constants.SOS_IDX,
+                                            constants.EOS_IDX)
+                    if m is not None:
+                        marg[orig] = float(m[row])
+    return inputs, fam_out
 
 
-def _calibrate_margin(tstcfgs, step, scorer, params, span=None) -> float:
-    """Fit the gate threshold on the labeled calibration set
-    (CAL_PRED_DIR predictions + CAL_TRANS_DIR gold transcripts)."""
+def _calibrate_policy(tstcfgs, step, scorer, params, span=None):
+    """Fit the gate on the labeled calibration set (CAL_PRED_DIR
+    predictions + CAL_TRANS_DIR gold transcripts).
+
+    Returns ``(family, margin)``: per rewrite-policy family, the
+    gain-maximizing threshold (fit_margin) and its total calibration LD
+    gain; the deployed policy is the family with the best fitted gain.
+    Plain chain has one family, so this reduces exactly to the round-3
+    margin fit. With span rewrites this is where the anchored policies
+    earn their place: the model's own likelihood cannot rank candidates by
+    gain (measured corr ≈ -0.07 at the mid-regime point), but calibration
+    LD can — fitted on dev, applied to the held-out set."""
     from attention_based_e2e_asr_dnn_tpu.decoding.rescore import fit_margin
     from attention_based_e2e_asr_dnn_tpu.utils.levenshtein import levenshtein
 
@@ -129,7 +190,7 @@ def _calibrate_margin(tstcfgs, step, scorer, params, span=None) -> float:
         ds, tstcfgs.batch_size, pad_time_multiple=32, has_labels=False,
         label_pad_id=constants.EOS_IDX,
     )
-    corrected, inputs, margins = _decode_with_scores(
+    inputs, fams = _decode_candidates(
         step, scorer, params, cal_batcher, len(ds), span=span)
     # gold transcripts in the SAME order authority the LM training dataset
     # uses (_npy_files: sorted .npy scan) — prediction row i pairs with
@@ -139,9 +200,22 @@ def _calibrate_margin(tstcfgs, step, scorer, params, span=None) -> float:
     golds = ["".join(str(c) for c in np.load(f)[1:-1])
              for f in _npy_files(cal_trans)]
     assert len(golds) == len(ds), "calibration csv/transcripts mismatch"
-    ld_in = [levenshtein(i, g) for i, g in zip(inputs, golds)]
-    ld_co = [levenshtein(c, g) for c, g in zip(corrected, golds)]
-    return fit_margin(margins, ld_in, ld_co)
+    ld_in = np.asarray([levenshtein(i, g) for i, g in zip(inputs, golds)],
+                       np.float64)
+
+    best = (float("-inf"), "rewrite" if span is None else "best",
+            float("inf"))
+    for name, (corrected, margins) in sorted(fams.items()):
+        ld_co = np.asarray([levenshtein(c, g)
+                            for c, g in zip(corrected, golds)], np.float64)
+        t = fit_margin(margins, ld_in, ld_co)
+        kept = np.asarray(margins, np.float64) > t
+        gain = float((ld_in[kept] - ld_co[kept]).sum())
+        print(f"  calibration [{name}]: margin {t:.4f} keeps "
+              f"{int(kept.sum())}/{len(golds)}, LD gain {gain:+.1f}")
+        if gain > best[0]:
+            best = (gain, name, t)
+    return best[1], best[2]
 
 
 def infer_one_checkpoint(model_cfgs, tstcfgs, checkpoint_filepath, batcher,
@@ -201,9 +275,10 @@ def infer_one_checkpoint(model_cfgs, tstcfgs, checkpoint_filepath, batcher,
 
     # span_rewrite (VERDICT r3 #7): widen the candidate set with
     # prefix-anchored rewrites — the forced scorer marks the input's
-    # confident prefix, the decode is forced along it and free-runs only the
-    # suspect tail, and the model keeps its best-scoring candidate. Requires
-    # the gate's scorer (selection and gating share the same likelihood).
+    # confident prefix, the decode is forced along it and free-runs only
+    # the suspect tail. The auto gate fits WHICH policy (and what margin)
+    # earns its keep on the calibration set; span_family picks one
+    # explicitly for a fixed margin. Requires the gate's scorer.
     span = None
     if bool(getattr(tstcfgs, "span_rewrite", False)):
         if scorer is None:
@@ -223,27 +298,31 @@ def infer_one_checkpoint(model_cfgs, tstcfgs, checkpoint_filepath, batcher,
             "token_scorer": make_rewriter_token_scorer(lm_cfg),
             "conf_tau": cfg_float(tstcfgs, "span_conf_tau", 0.5),
             "fracs": list(getattr(tstcfgs, "span_fracs", None)
-                          or (0.5, 0.75)),
+                          or (0.25, 0.5, 0.75, 0.9)),
         }
 
+    default_family = "best" if span is not None else "rewrite"
     if scorer is not None and raw_margin == "auto":
-        margin = _calibrate_margin(tstcfgs, step, scorer, params, span=span)
-        print(f"auto-calibrated confidence margin: {margin:.4f}")
+        family, margin = _calibrate_policy(tstcfgs, step, scorer, params,
+                                           span=span)
+        print(f"auto-calibrated policy: [{family}] margin {margin:.4f}")
     elif raw_margin == "auto":
         # gate_correction: false makes the margin irrelevant — don't crash
         # on float("auto"), just note the no-op
         print("confidence_margin: auto ignored (gate_correction is off)")
-        margin = 0.0
+        family, margin = default_family, 0.0
     else:
+        family = getattr(tstcfgs, "span_family", None) or default_family
         margin = cfg_float(tstcfgs, "confidence_margin", 0.0)
 
-    corrected, inputs, margins = _decode_with_scores(
+    inputs, fams = _decode_candidates(
         step, scorer, params, batcher, n_examples, span=span)
+    corrected, margins = fams[family]
     if scorer is not None:
         use = [m > margin for m in margins]
         preds = [c if u else i for c, i, u in zip(corrected, inputs, use)]
         print(f"confidence gate kept {sum(use)}/{len(use)} corrections "
-              f"(margin {margin})")
+              f"(policy {family}, margin {margin})")
     else:
         preds = corrected
 

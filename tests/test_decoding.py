@@ -466,9 +466,10 @@ def test_select_among_candidates_picks_best_scorer_choice():
 
 
 def test_span_rewrite_never_worse_with_auto_margin():
-    """lminfer's span_rewrite path through _decode_with_scores: candidates
-    are generated, the best is selected, and a huge fitted margin keeps the
-    inputs untouched (never-worse plumbing intact)."""
+    """lminfer's span_rewrite path through _decode_candidates: every
+    rewrite-policy family is produced with finite margins, the anchored
+    families respect their anchors, and a huge margin keeps the inputs
+    untouched (never-worse plumbing intact)."""
     from attention_based_e2e_asr_dnn_tpu.decoding.greedy import (
         make_rewriter_anchored_step,
         make_rewriter_greedy_step,
@@ -477,7 +478,7 @@ def test_span_rewrite_never_worse_with_auto_margin():
         make_rewriter_scorer,
         make_rewriter_token_scorer,
     )
-    from attention_based_e2e_asr_dnn_tpu.lminfer import _decode_with_scores
+    from attention_based_e2e_asr_dnn_tpu.lminfer import _decode_candidates
 
     cfg, params = _rewriter_fixture()
 
@@ -504,12 +505,16 @@ def test_span_rewrite_never_worse_with_auto_margin():
         "conf_tau": 0.5,
         "fracs": [0.5],
     }
-    corrected, inputs, margins = _decode_with_scores(
+    inputs, fams = _decode_candidates(
         make_rewriter_greedy_step(cfg), make_rewriter_scorer(cfg), params,
         _Batcher(x, lx), 2, span=span)
-    assert len(corrected) == 2 and all(c is not None for c in corrected)
-    assert all(np.isfinite(m) for m in margins)
+    # one family per policy: free rewrite, conf anchor, one frac, argmax
+    assert set(fams) == {"free", "conf", "f50", "best"}
+    for corrected, margins in fams.values():
+        assert len(corrected) == 2 and all(c is not None for c in corrected)
+        assert all(np.isfinite(m) for m in margins)
     # the gate's contract: margin <= threshold keeps the input
+    corrected, margins = fams["best"]
     preds = [c if m > 1e9 else i
              for c, i, m in zip(corrected, inputs, margins)]
     assert preds == inputs

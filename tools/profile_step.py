@@ -87,15 +87,29 @@ def main():
         print("device backend unavailable (tunnel down) — aborting",
               file=sys.stderr)
         sys.exit(3)
-    cfg = las_config_from_dicts(
-        dict(input_dim=F, uniform_hid_dim=512, lstm_layers=1, plstm_layers=3,
-             init_dropout=0.3, mid_dropout=0.3, final_dropout=0.35,
-             lstm_impl="pallas"),
-        dict(att_proj_dim=256, att_heads=1, att_dropout=0.0, dec_emb_dim=512,
-             dec_emb_dropout=0.0, dec_lstm_hid_dim=512, dec_lstm_out_dim=256,
-             dec_lstm_dropout=0.3, CHR_MAX_STEPS=600,
-             decoder_impl=os.environ.get("PROF_DECODER", "pallas")),
-    )
+    # PROF_ARCH=scaled profiles BASELINE.json config #5 (1024 hid, 4-head)
+    # — the round-4 MFU investigation's map (VERDICT r3 weak #2)
+    if os.environ.get("PROF_ARCH", "base") == "scaled":
+        cfg = las_config_from_dicts(
+            dict(input_dim=F, uniform_hid_dim=1024, lstm_layers=1,
+                 plstm_layers=3, init_dropout=0.3, mid_dropout=0.3,
+                 final_dropout=0.35, lstm_impl="pallas", remat=True),
+            dict(att_proj_dim=256, att_heads=4, att_dropout=0.0,
+                 dec_emb_dim=512, dec_emb_dropout=0.0, dec_lstm_hid_dim=1024,
+                 dec_lstm_out_dim=256, dec_lstm_dropout=0.3,
+                 CHR_MAX_STEPS=600,
+                 decoder_impl=os.environ.get("PROF_DECODER", "pallas")),
+        )
+    else:
+        cfg = las_config_from_dicts(
+            dict(input_dim=F, uniform_hid_dim=512, lstm_layers=1, plstm_layers=3,
+                 init_dropout=0.3, mid_dropout=0.3, final_dropout=0.35,
+                 lstm_impl="pallas"),
+            dict(att_proj_dim=256, att_heads=1, att_dropout=0.0, dec_emb_dim=512,
+                 dec_emb_dropout=0.0, dec_lstm_hid_dim=512, dec_lstm_out_dim=256,
+                 dec_lstm_dropout=0.3, CHR_MAX_STEPS=600,
+                 decoder_impl=os.environ.get("PROF_DECODER", "pallas")),
+        )
     params = las_init(jax.random.key(0), cfg)
     tx = build_optimizer("adamw", {"lr": 1e-3, "weight_decay": 5e-6,
                                    "amsgrad": True}, grad_norm=5.0)
