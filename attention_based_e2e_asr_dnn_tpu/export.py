@@ -53,6 +53,31 @@ def _dp_shardings(n: int):
             NamedSharding(mesh, PartitionSpec("dp")))
 
 
+def _portable_las_cfg(las_cfg, platforms):
+    """Force the portable XLA compute paths when the artifact targets any
+    non-TPU platform.
+
+    The Pallas kernel tiers (``lstm_impl``/``decoder_impl: pallas``) are a
+    runtime performance choice, not model semantics (kernel/scan equivalence
+    is pinned by tests/test_lstm_pallas.py and tests/test_speller_pallas.py) —
+    but Mosaic kernels only lower for TPU, so a multi-platform ``jax.export``
+    of a pallas-configured model dies with "Only interpret mode is supported
+    on CPU backend". A user who trained with the fast kernels (the
+    recommended config) must still get a portable artifact by default."""
+    import dataclasses
+
+    if set(platforms) == {"tpu"}:
+        return las_cfg
+    lst, spl = las_cfg.listener, las_cfg.speller
+    if lst.lstm_impl == "pallas":
+        lst = dataclasses.replace(lst, lstm_impl="scan")
+    if spl.decoder_impl == "pallas":
+        spl = dataclasses.replace(spl, decoder_impl="scan")
+    if lst is not las_cfg.listener or spl is not las_cfg.speller:
+        return dataclasses.replace(las_cfg, listener=lst, speller=spl)
+    return las_cfg
+
+
 def export_las_decoder(
     params,
     las_cfg,
@@ -88,6 +113,7 @@ def export_las_decoder(
     import jax.numpy as jnp
     from jax import export as jexport
 
+    las_cfg = _portable_las_cfg(las_cfg, platforms)
     if beam_size > 1 and data_parallel > 1:
         raise NotImplementedError(
             "data_parallel export currently covers the greedy path; "
@@ -215,9 +241,16 @@ def export_rewriter_corrector(
     (decoding/rescore.py) so ``ExportedCorrector`` can apply the
     confidence gate on deployment hosts — margin stays a RUNTIME knob.
     """
+    import dataclasses
+
     import jax.numpy as jnp
     from jax import export as jexport
 
+    if set(platforms) != {"tpu"} and ("pallas" in (lm_cfg.lstm_impl,
+                                                   lm_cfg.decoder_impl)):
+        # same rule as _portable_las_cfg: Mosaic kernels only lower for TPU
+        lm_cfg = dataclasses.replace(
+            lm_cfg, lstm_impl="scan", decoder_impl="scan")
     if t_pad % 32:
         raise ValueError(
             f"t_pad {t_pad} must be a multiple of 32 (the gate's candidate "

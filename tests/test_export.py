@@ -117,6 +117,62 @@ def test_transcribe_rejects_overlong_and_overbatch(artifact_path):
         dec.transcribe([np.zeros((4, 14), np.float32)])
 
 
+def test_pallas_configured_model_exports_portable(tmp_path):
+    """A model trained with the Pallas kernel tiers (the recommended fast
+    config) must still export a portable multi-platform artifact: the
+    export forces the scan impls (Mosaic only lowers for TPU), and the
+    artifact reproduces the scan-impl in-process decode exactly."""
+    import dataclasses
+
+    from attention_based_e2e_asr_dnn_tpu.decoding.greedy import (
+        make_las_greedy_step,
+    )
+
+    cfg_pallas = dataclasses.replace(
+        CFG,
+        listener=dataclasses.replace(CFG.listener, lstm_impl="pallas"),
+        speller=dataclasses.replace(CFG.speller, decoder_impl="pallas"),
+    )
+    params = las_init(jax.random.PRNGKey(1), cfg_pallas)
+    art = export_las_decoder(
+        params, cfg_pallas, BATCH, T_PAD, vocab=constants.VOCAB,
+        sos_idx=constants.SOS_IDX, eos_idx=constants.EOS_IDX,
+        pad_idx=constants.PAD_IDX, platforms=("tpu", "cpu"))
+    path = str(tmp_path / "las-pallas.tlas")
+    save_artifact(path, art)
+    dec = ExportedDecoder(path)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((BATCH, T_PAD, 15)).astype(np.float32)
+    lx = np.array([32, 20, 9, 4], np.int32)
+    want = np.asarray(make_las_greedy_step(CFG)(params, jnp.asarray(x),
+                                                jnp.asarray(lx)))
+    np.testing.assert_array_equal(dec.decode_ids(x, lx), want)
+
+
+def test_pallas_configured_corrector_exports_portable(tmp_path):
+    """Same rule for Rewriter artifacts: pallas-configured corrector +
+    default platforms must export (and carry the gate scorer)."""
+    from attention_based_e2e_asr_dnn_tpu.export import (
+        export_rewriter_corrector,
+    )
+    from attention_based_e2e_asr_dnn_tpu.models.rewriter import (
+        RewriterConfig,
+        rewriter_init,
+    )
+
+    cfg = RewriterConfig(emb_dim=16, enc_lstm_layers=1, enc_lstm_hid_dim=8,
+                         att_proj_dim=8, att_heads=1, dec_lstm_hid_dim=16,
+                         dec_lstm_out_dim=8, CHR_MAX_STEPS=12,
+                         lstm_impl="pallas", decoder_impl="pallas")
+    params = rewriter_init(jax.random.PRNGKey(2), cfg)
+    art = export_rewriter_corrector(
+        params, cfg, batch=2, t_pad=32, vocab=constants.VOCAB,
+        sos_idx=constants.SOS_IDX, eos_idx=constants.EOS_IDX,
+        pad_idx=constants.PAD_IDX, platforms=("tpu", "cpu"))
+    assert "mlir_scorer" in art
+    assert art["meta"]["platforms"] == ["tpu", "cpu"]
+
+
 def test_bad_format_rejected(tmp_path):
     path = str(tmp_path / "bogus.tlas")
     np.savez(path[:-5] + ".npz", __record__=np.frombuffer(
