@@ -95,6 +95,25 @@ class Trainer:
         # decoding/beam.py::make_las_eval_beam_step)
         self.eval_beam_step = eval_beam_step
 
+        # Feature wire format: when the step computes in bf16 anyway, shipping
+        # fp32 features host->device doubles the H2D bytes only to cast them
+        # on arrival. ``feed_dtype: auto`` (default) host-casts features to
+        # the compute dtype before the transfer — numerically identical to
+        # the step's own ``x.astype(compute_dtype)`` prologue, at half the
+        # wire traffic (~1.8 GB/epoch fp32 at train-clean-100 scale). Set
+        # ``feed_dtype: float32`` to force the old wire format.
+        feed = str(getattr(trncfgs, "feed_dtype", "auto"))
+        if feed == "auto":
+            self.feed_dtype = (jnp.bfloat16 if compute_dtype == jnp.bfloat16
+                               else None)
+        elif feed in ("float32", "fp32"):
+            self.feed_dtype = None
+        elif feed in ("bfloat16", "bf16"):
+            self.feed_dtype = jnp.bfloat16
+        else:
+            raise ValueError(f"feed_dtype {feed!r}: expected auto, float32 "
+                             f"or bfloat16")
+
         self.accu_grad = int(getattr(trncfgs, "accu_grad", 1))
         self.grad_norm = float(getattr(trncfgs, "grad_norm", 5.0))
         self.init_force_cfg = bool(getattr(trncfgs, "init_force", False))
@@ -175,8 +194,15 @@ class Trainer:
         self.train_history = {"loss": [], "ppl": []}
         self.dev_history = {"loss": [], "ppl": [], "ld": []}
         # wall-clock per epoch (train + eval + checkpointing) — the honest
-        # end-to-end throughput record (first entry carries compile time)
+        # end-to-end throughput record (first entry carries compile time).
+        # train_seconds/eval_seconds decompose it: train_seconds covers the
+        # gradient-step loop only (input pipeline + H2D + steps), so
+        # n_train_utts / train_seconds is the number comparable to bench.py's
+        # resident-data step throughput; eval_seconds is the free-running
+        # dev decode + host Levenshtein.
         self.epoch_seconds: list = []
+        self.train_seconds: list = []
+        self.eval_seconds: list = []
 
         self.ckpt = CheckpointManager(
             os.path.join(saving_dir, "ckpts"), milestone_dir,
@@ -276,8 +302,10 @@ class Trainer:
             for bt in batch_iter:
                 y, ly = self._strip_sos(bt.y, bt.ly)
                 ly = np.where(bt.indices >= 0, ly, 0)  # repeat-padded: no loss
+                x = (bt.x if self.feed_dtype is None
+                     else bt.x.astype(self.feed_dtype))
                 device_batch = self.shard_batch(
-                    (jnp.asarray(bt.x), jnp.asarray(bt.lx.astype(np.int32)),
+                    (jnp.asarray(x), jnp.asarray(bt.lx.astype(np.int32)),
                      jnp.asarray(y.astype(np.int32)),
                      jnp.asarray(ly.astype(np.int32)))
                 )
@@ -429,7 +457,9 @@ class Trainer:
                     )
                     self._build_steps()
 
+            t_train0 = time.time()
             trn_loss, trn_ppl, att_map = self.train_epoch()
+            self.train_seconds.append(time.time() - t_train0)
             if att_map is not None:
                 pay_attention_multihead(
                     np.asarray(att_map), epoch=self.epoch,
@@ -441,7 +471,9 @@ class Trainer:
             ld_interval = int(getattr(self.trncfgs, "eval_ld_interval", 1) or 1)
             compute_ld = (ld_interval <= 1 or self.epoch % ld_interval == 0
                           or not self.dev_history["ld"])
+            t_eval0 = time.time()
             dev_loss, dev_ppl, dev_ld = self.evaluate_epoch(compute_ld)
+            self.eval_seconds.append(time.time() - t_eval0)
             if dev_ld <= 0 and self.dev_history["ld"]:
                 dev_ld = self.dev_history["ld"][-1]  # src/train.py:283-285
             self.dev_history["loss"].append(dev_loss)
@@ -453,7 +485,9 @@ class Trainer:
             self.logger.print(
                 f"[epoch {self.epoch}] trn loss {trn_loss:.4f} ppl {trn_ppl:.3f} | "
                 f"dev loss {dev_loss:.4f} ppl {dev_ppl:.3f} ld {dev_ld:.3f} | "
-                f"tf {self.tf_rate:.2f} lr {self.current_lr:.2e} | {dt:.1f}s"
+                f"tf {self.tf_rate:.2f} lr {self.current_lr:.2e} | "
+                f"{dt:.1f}s (trn {self.train_seconds[-1]:.1f} "
+                f"dev {self.eval_seconds[-1]:.1f})"
             )
             self.logger.log({
                 "avg_trn_loss": trn_loss, "avg_trn_ppl": trn_ppl,

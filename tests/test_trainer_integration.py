@@ -46,7 +46,8 @@ class _Set:
         return self.items[i]
 
 
-def _trainer(tmp_path, extra=None, shard_batch=None, shard_state=None):
+def _trainer(tmp_path, extra=None, shard_batch=None, shard_state=None,
+             compute_dtype=jnp.float32):
     cfg = {
         "seed": 0, "epochs": 2, "batch_size": 4, "accu_grad": 1,
         "grad_norm": 5.0, "init_force": False, "tf_rate": 1.0,
@@ -82,7 +83,24 @@ def _trainer(tmp_path, extra=None, shard_batch=None, shard_state=None):
         eos_idx=29,
         shard_batch=shard_batch,
         shard_state=shard_state,
+        compute_dtype=compute_dtype,
     )
+
+
+def test_feed_dtype_auto_matches_float32_wire(tmp_path):
+    """feed_dtype auto (host-cast features to the compute dtype before H2D)
+    must be numerically identical to shipping fp32 and casting on device:
+    the step's own prologue cast makes them the same program inputs."""
+    tr32 = _trainer(tmp_path / "a", extra={"feed_dtype": "float32"},
+                    compute_dtype=jnp.bfloat16)
+    trbf = _trainer(tmp_path / "b", extra={"feed_dtype": "auto"},
+                    compute_dtype=jnp.bfloat16)
+    assert tr32.feed_dtype is None
+    assert trbf.feed_dtype == jnp.bfloat16
+    tr32.train_eval(1)
+    trbf.train_eval(1)
+    assert tr32.train_history["loss"] == trbf.train_history["loss"]
+    assert tr32.dev_history["loss"] == trbf.dev_history["loss"]
 
 
 def test_trainer_runs_epochs_and_records(tmp_path):
@@ -91,6 +109,12 @@ def test_trainer_runs_epochs_and_records(tmp_path):
     assert len(tr.train_history["loss"]) == 2
     assert len(tr.dev_history["ld"]) == 2
     assert all(np.isfinite(v) for v in tr.train_history["loss"])
+    # per-phase wall-clock decomposition (round 4: epoch_seconds alone can't
+    # attribute end-to-end throughput)
+    assert len(tr.train_seconds) == 2 and len(tr.eval_seconds) == 2
+    assert all(t >= 0 for t in tr.train_seconds + tr.eval_seconds)
+    assert all(tr.train_seconds[i] + tr.eval_seconds[i] <= tr.epoch_seconds[i]
+               for i in range(2))
     # attention map and checkpoint artifacts exist
     assert os.path.exists(os.path.join(str(tmp_path), "imgs",
                                        "attention-map-epoch0.png"))

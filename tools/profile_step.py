@@ -131,6 +131,18 @@ def main():
         m = (flops / seconds / peak) if flops else float("nan")
         rows.append((name, seconds * 1e3, m))
 
+    def try_row(name, thunk, flops=None):
+        """A standalone component program can hit a scoped-VMEM compile OOM
+        that the SAME kernel shapes do not hit inside the full step (Mosaic
+        scoped allocation is context-dependent — docs/kernels.md measured
+        ±65% model error). One failing row must not kill the whole map."""
+        try:
+            row(name, thunk(), flops)
+        except Exception as exc:  # pragma: no cover - device-dependent
+            msg = str(exc).splitlines()[0][:120]
+            print(f"[profile] {name}: SKIPPED ({msg})", file=sys.stderr)
+            rows.append((name, float("nan"), float("nan")))
+
     # --- full train step ---------------------------------------------------
     from attention_based_e2e_asr_dnn_tpu.models.las import las_apply
 
@@ -166,9 +178,10 @@ def main():
         return optax.global_norm(g)  # consume EVERY grad (defeat DCE)
 
     lf = listener_flops(cfg, BATCH, T)
-    row("listener fwd", bench(lst_fwd, params["listener"], xb, lx), lf)
-    row("listener fwd+bwd", bench(lst_fwdbwd, params["listener"], xb, lx),
-        3 * lf)
+    try_row("listener fwd",
+            lambda: bench(lst_fwd, params["listener"], xb, lx), lf)
+    try_row("listener fwd+bwd",
+            lambda: bench(lst_fwdbwd, params["listener"], xb, lx), 3 * lf)
 
     # --- speller (given enc_h) ----------------------------------------------
     enc_t = T // cfg.listener.time_reduction
@@ -194,9 +207,11 @@ def main():
         return optax.global_norm(jax.grad(loss)(p))
 
     sf = speller_flops(cfg, BATCH, L, enc_t)
-    row("speller fwd", bench(sp_fwd, params["speller"], enc_h, enc_l, y), sf)
-    row("speller fwd+bwd",
-        bench(sp_fwdbwd, params["speller"], enc_h, enc_l, y, ly), 3 * sf)
+    try_row("speller fwd",
+            lambda: bench(sp_fwd, params["speller"], enc_h, enc_l, y), sf)
+    try_row("speller fwd+bwd",
+            lambda: bench(sp_fwdbwd, params["speller"], enc_h, enc_l, y, ly),
+            3 * sf)
 
     # --- joint fwd / fwd+bwd (no optimizer machinery) ------------------------
     mk = jax.random.key(9)
@@ -214,8 +229,10 @@ def main():
         return loss, optax.global_norm(g)
 
     jf = las_train_step_flops(cfg, BATCH, T, L)
-    row("joint fwd (loss)", bench(joint_fwd, params, x, lx, y, ly), jf // 3)
-    row("joint fwd+bwd", bench(joint_fwdbwd, params, x, lx, y, ly), jf)
+    try_row("joint fwd (loss)",
+            lambda: bench(joint_fwd, params, x, lx, y, ly), jf // 3)
+    try_row("joint fwd+bwd",
+            lambda: bench(joint_fwdbwd, params, x, lx, y, ly), jf)
 
     # --- full step without the nan guard -------------------------------------
     no_guard = make_train_step(apply_fn, tx, compute_dtype=DTYPE,
@@ -254,8 +271,8 @@ def main():
         print(f"{name:<22}{ms:>9.2f}{m:>8.3f}" if m == m
               else f"{name:<22}{ms:>9.2f}{'—':>8}")
     known = sum(ms for n, ms, _ in rows
-                if n in ("listener fwd+bwd", "speller fwd+bwd", "specaug",
-                         "optimizer update"))
+                if ms == ms and n in ("listener fwd+bwd", "speller fwd+bwd",
+                                      "specaug", "optimizer update"))
     print(f"{'sum of parts':<22}{known:>9.2f}")
     print(f"{'residual (full-sum)':<22}{rows[0][1] - known:>9.2f}")
 
