@@ -31,6 +31,7 @@ Fallback: non-TPU backends or tiny shapes route to the pure lax.scan path.
 from __future__ import annotations
 
 import functools
+import os
 
 
 import jax
@@ -394,19 +395,26 @@ def _lstm_bwd_dw_kernel(g_ref, cs_ref, cp_ref, dy_ref, hs_ref, mask_ref,
     at the next grid iteration; the globally-final deferred term pairs with
     h == 0 and is correctly dropped. Per-gate-slab dots (a (B,4H) fp32
     concat would blow the VMEM stack).
+
+    ``dw_scratch=None`` (the raised-vmem big-H variant) accumulates directly
+    into ``dw_ref`` instead: the constant-index-map output block stays
+    VMEM-resident across the whole grid, so a separate accumulator only
+    doubles the (H,4H) fp32 footprint — decisive at H=1024 where that pair
+    alone is 32 MB.
     """
     t = pl.program_id(0)
+    acc = dw_ref if dw_scratch is None else dw_scratch
 
     @pl.when(t == 0)
     def _init():
         dh_scratch[:] = jnp.zeros_like(dh_scratch)
         dc_scratch[:] = jnp.zeros_like(dc_scratch)
-        dw_scratch[:] = jnp.zeros_like(dw_scratch)
+        acc[:] = jnp.zeros_like(acc)
         pend_scratch[:] = jnp.zeros_like(pend_scratch)
 
     # fold the previous block's boundary term with this block's adjacent row
     h_adj = hs_ref[k_block - 1] if scan_desc else hs_ref[0]
-    dw_scratch[:] += jax.lax.dot_general(
+    acc[:] += jax.lax.dot_general(
         h_adj, pend_scratch[:], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
@@ -440,7 +448,7 @@ def _lstm_bwd_dw_kernel(g_ref, cs_ref, cp_ref, dy_ref, hs_ref, mask_ref,
         if k != boundary_k:
             hp = hs_ref[k - 1] if scan_desc else hs_ref[k + 1]
             for s_i, dp in enumerate((dpre_i, dpre_f, dpre_g, dpre_o)):
-                dw_scratch[:, s_i * hidden_dim : (s_i + 1) * hidden_dim] += (
+                acc[:, s_i * hidden_dim : (s_i + 1) * hidden_dim] += (
                     jax.lax.dot_general(hp, dp.astype(hp.dtype),
                                         (((0,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32))
@@ -473,9 +481,34 @@ def _lstm_bwd_dw_kernel(g_ref, cs_ref, cp_ref, dy_ref, hs_ref, mask_ref,
     dh_scratch[:] = dh
     dc_scratch[:] = dc
 
-    @pl.when(t == grid - 1)
-    def _flush():
-        dw_ref[:, :] = dw_scratch[:]
+    if dw_scratch is not None:
+        @pl.when(t == grid - 1)
+        def _flush():
+            dw_ref[:, :] = dw_scratch[:]
+
+
+def _lstm_bwd_dw_accout_kernel(g_ref, cs_ref, cp_ref, dy_ref, hs_ref,
+                               mask_ref, wt_ref, dpre_ref, dw_ref, dh_scratch,
+                               dc_scratch, pend_scratch, *, hidden_dim: int,
+                               k_block: int, grid: int, scan_desc: bool):
+    """_lstm_bwd_dw_kernel accumulating directly into the dW output block
+    (no separate (H,4H) fp32 scratch — the big-H raised-vmem variant)."""
+    _lstm_bwd_dw_kernel(g_ref, cs_ref, cp_ref, dy_ref, hs_ref, mask_ref,
+                        wt_ref, dpre_ref, dw_ref, dh_scratch, dc_scratch,
+                        None, pend_scratch, hidden_dim=hidden_dim,
+                        k_block=k_block, grid=grid, scan_desc=scan_desc)
+
+
+def _scoped_vmem_cap() -> int:
+    """Raised Mosaic scoped-VMEM limit (bytes) for the big-H adjoint kernels.
+
+    Mosaic's DEFAULT scoped budget is ~16 MB — a compiler check, not the
+    chip: v5e physically carries far more VMEM, and
+    ``pltpu.CompilerParams(vmem_limit_bytes=...)`` raises the check.
+    ``TPU_LAS_SCOPED_VMEM_MB`` overrides (0 disables the raised paths and
+    restores the round-3 batch-chunk + outside-einsum routing)."""
+    mb = int(os.environ.get("TPU_LAS_SCOPED_VMEM_MB", "64"))
+    return mb * 1024 * 1024
 
 
 def _dw_kernel_fits(batch: int, hidden_dim: int, itemsize: int) -> bool:
@@ -493,6 +526,24 @@ def _dw_kernel_fits(batch: int, hidden_dim: int, itemsize: int) -> bool:
     return need <= 14 * 1024 * 1024
 
 
+def _dw_kernel_fits_raised(batch: int, hidden_dim: int, itemsize: int) -> bool:
+    """Whether the accumulate-into-output dW adjoint fits the RAISED scoped
+    budget (``_scoped_vmem_cap``). No separate dW scratch — the output block
+    itself accumulates — so the decisive fp32 (H,4H) term appears once.
+    6 MB margin covers the per-step dot stack temporaries Mosaic adds on
+    top of the modeled buffers (measured overflows at tight budgets)."""
+    cap = _scoped_vmem_cap()
+    if cap <= 16 * 1024 * 1024:
+        return False
+    four_h = 4 * hidden_dim
+    need = (hidden_dim * four_h * 4               # dW out block (fp32)
+            + four_h * hidden_dim * itemsize      # transposed weight block
+            + 2 * batch * hidden_dim * 4          # dh/dc carry scratch
+            + batch * four_h * itemsize           # pending dpre
+            + 2 * batch * (12 * hidden_dim + 1) * itemsize)  # k=1 streams
+    return need <= cap - 6 * 1024 * 1024
+
+
 def _dw_outside_einsum(hs, dpre, reverse: bool, prec):
     """Sliced-form dW_hh einsum (h_{-1} = 0 contributes nothing) — the
     pre-fusion weight gradient as ONE MXU matmul over all (T*B) rows."""
@@ -504,11 +555,18 @@ def _dw_outside_einsum(hs, dpre, reverse: bool, prec):
 
 
 def _backward_pallas_dw(w_hh, mask, gates, cs, c_prev, hs, d_hs,
-                        interpret: bool = False, reverse: bool = False):
+                        interpret: bool = False, reverse: bool = False,
+                        raised: bool = False):
     """Adjoint + in-kernel dW_hh. Returns (dpre (T,B,4H), d_whh (H,4H) fp32).
 
     ``reverse`` is the FORWARD scan's direction; the adjoint walks the
     opposite way. Replaces _backward_pallas + the outside hs/dpre einsum.
+
+    ``raised=True`` is the big-H (e.g. 1024) route: the kernel accumulates
+    dW directly into the VMEM-resident output block (no separate (H,4H)
+    fp32 scratch) and the pallas_call carries
+    ``vmem_limit_bytes=_scoped_vmem_cap()`` — Mosaic's default ~16 MB
+    scoped budget is a compiler check, not the chip's VMEM.
     """
     seq_len, batch, four_h = gates.shape
     hidden_dim = four_h // 4
@@ -520,16 +578,29 @@ def _backward_pallas_dw(w_hh, mask, gates, cs, c_prev, hs, d_hs,
     # K overflowed the 16 MB scoped-VMEM stack (measured).
     fixed = (four_h * hidden_dim * es
              + 2 * batch * hidden_dim * 4
-             + hidden_dim * four_h * 4
+             + (0 if raised else hidden_dim * four_h * 4)
              + batch * four_h * es)
+    budget = (_scoped_vmem_cap() - hidden_dim * four_h * 4
+              - 7 * 1024 * 1024) if raised else 9 * 1024 * 1024
     k_block = _pick_k_block(seq_len, 2 * four_h + 4 * hidden_dim + 1, batch,
-                            es, fixed_bytes=fixed, budget=9 * 1024 * 1024)
+                            es, fixed_bytes=fixed, budget=budget)
     grid = seq_len // k_block
     scan_desc = not reverse
-    kernel = functools.partial(_lstm_bwd_dw_kernel, hidden_dim=hidden_dim,
+    kern_fn = _lstm_bwd_dw_accout_kernel if raised else _lstm_bwd_dw_kernel
+    kernel = functools.partial(kern_fn, hidden_dim=hidden_dim,
                                k_block=k_block, grid=grid,
                                scan_desc=scan_desc)
     idx = _scan_specs(grid, scan_desc)
+    scratch = [
+        pltpu.VMEM((batch, hidden_dim), jnp.float32),
+        pltpu.VMEM((batch, hidden_dim), jnp.float32),
+    ] if pltpu is not None else None
+    if scratch is not None and not raised:
+        scratch.append(pltpu.VMEM((hidden_dim, four_h), jnp.float32))
+    if scratch is not None:
+        scratch.append(pltpu.VMEM((batch, four_h), dtype))
+    params = (pltpu.CompilerParams(vmem_limit_bytes=_scoped_vmem_cap())
+              if raised and pltpu is not None else None)
     dpre, d_whh = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -550,12 +621,8 @@ def _backward_pallas_dw(w_hh, mask, gates, cs, c_prev, hs, d_hs,
             jax.ShapeDtypeStruct((seq_len, batch, four_h), dtype),
             jax.ShapeDtypeStruct((hidden_dim, four_h), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((batch, hidden_dim), jnp.float32),
-            pltpu.VMEM((batch, hidden_dim), jnp.float32),
-            pltpu.VMEM((hidden_dim, four_h), jnp.float32),
-            pltpu.VMEM((batch, four_h), dtype),
-        ] if pltpu is not None else None,
+        scratch_shapes=scratch,
+        compiler_params=params,
         interpret=interpret,
     )(gates, cs, c_prev, d_hs, hs, mask.astype(dtype)[:, :, None],
       jnp.swapaxes(w_hh, 0, 1).astype(dtype))
@@ -586,11 +653,19 @@ def _backward_pallas(w_hh, mask, gates, cs, c_prev, d_hs,
         return (fixed_w + 2 * b * hidden_dim * 4
                 + 2 * b * stream_cols * es) <= 12 * 1024 * 1024
 
+    # the raised scoped-VMEM limit spares the batch-halving entirely when
+    # the full-batch footprint fits under it (6 MB temp margin)
+    raised = (not _fits(batch)
+              and (fixed_w + 2 * batch * hidden_dim * 4
+                   + 2 * batch * stream_cols * es)
+              <= _scoped_vmem_cap() - 6 * 1024 * 1024)
+
     bchunk = batch
     # halving must preserve the sublane constraint (batch % 8 == 0 is a
     # hard Mosaic gate elsewhere in this module) — e.g. 144 may halve to
     # 72 but never to 36
-    while bchunk > 8 and (bchunk // 2) % 8 == 0 and not _fits(bchunk):
+    while (not raised and bchunk > 8 and (bchunk // 2) % 8 == 0
+           and not _fits(bchunk)):
         bchunk //= 2
     if bchunk < batch:
         parts = [
@@ -615,6 +690,9 @@ def _backward_pallas(w_hh, mask, gates, cs, c_prev, d_hs,
     idx = _scan_specs(grid, scan_desc)
     dpre = pl.pallas_call(
         kernel,
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=_scoped_vmem_cap())
+            if raised and pltpu is not None else None),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((k_block, batch, four_h), idx),
@@ -688,11 +766,25 @@ def _adjoint_with_dw(w_hh, mask, hs, cs, gates, d_hs, interpret, reverse):
     else:
         c_prev = jnp.concatenate([zero_row, cs[:-1]], axis=0)
 
-    if _dw_kernel_fits(batch, hidden_dim, jnp.dtype(dtype).itemsize):
+    es = jnp.dtype(dtype).itemsize
+    if _dw_kernel_fits(batch, hidden_dim, es):
         return _backward_pallas_dw(w_hh, mask, gates, cs, c_prev, hs,
                                    d_hs.astype(dtype), interpret,
                                    reverse=reverse)
-    # big-H (e.g. 1024): dW accumulator can't fit the scoped stack
+    # Big-H (e.g. 1024) default: the UNCHUNKED plain adjoint under the
+    # raised scoped-VMEM limit + the outside dW einsum. Measured at the
+    # scaled flagship shape (T=1536, B=128, H=1024, bf16, 2026-08-19):
+    # round-3 batch-chunked route 154.5 ms; raised unchunked + einsum
+    # 122.5 ms (-21%); raised IN-KERNEL dW 124.8 ms — at H=1024 the
+    # per-step dW dots lengthen the serial chain by MORE than the parallel
+    # outside einsum costs (the opposite of H<=512's +7%), so the einsum
+    # stays the default and the in-kernel route is an env-selectable
+    # experiment (TPU_LAS_BIGH_DW=inkernel).
+    if (os.environ.get("TPU_LAS_BIGH_DW", "einsum") == "inkernel"
+            and _dw_kernel_fits_raised(batch, hidden_dim, es)):
+        return _backward_pallas_dw(w_hh, mask, gates, cs, c_prev, hs,
+                                   d_hs.astype(dtype), interpret,
+                                   reverse=reverse, raised=True)
     dpre = _backward_pallas(w_hh, mask, gates, cs, c_prev,
                             d_hs.astype(dtype), interpret, reverse=reverse)
     return dpre, _dw_outside_einsum(hs, dpre, reverse,

@@ -51,8 +51,21 @@ try:  # pltpu only resolves on TPU-enabled jaxlibs
 except ImportError:  # pragma: no cover
     pltpu = None
 
+from attention_based_e2e_asr_dnn_tpu.ops.lstm_pallas import _scoped_vmem_cap
+
 
 NEG = -1e9  # additive pad bias; exp(NEG - max) underflows to exactly 0
+
+
+def _raised_params(h1dim: int):
+    """CompilerParams raising Mosaic's scoped-VMEM check for big-h1 decoder
+    chunks (Mosaic's ~16 MB default is a compiler check, not the chip's
+    VMEM); None keeps the default-limit compilation for the calibrated
+    base-arch rules."""
+    cap = _scoped_vmem_cap()
+    if h1dim > 512 and cap > 16 * 1024 * 1024 and pltpu is not None:
+        return pltpu.CompilerParams(vmem_limit_bytes=cap)
+    return None
 
 
 def _auto_interpret() -> bool:
@@ -401,6 +414,19 @@ def pick_chunk(batch: int, te: int, proj: int, interpret: bool, *,
     if interpret:
         return batch
     cap = 32 if h1dim <= 512 else 8             # empirical scoped-VMEM rule
+    budget = int(15.5 * 1024 * 1024)
+    kv_cap = 7 * 1024 * 1024
+    if h1dim > 512 and _scoped_vmem_cap() > 16 * 1024 * 1024:
+        # raised Mosaic scoped-VMEM limit (the kernels carry
+        # vmem_limit_bytes, see _raised_params): the measured bb=16 backward
+        # footprint (16.70 MB @ Te=192/L=224) fits the raised cap with >2x
+        # margin, so the big-h1 chunk cap lifts 8 -> 16. The base-arch
+        # (h1<=512) rule is untouched — its kernels run under the DEFAULT
+        # limit and the 32/15.5MB/7MB calibration stands.
+        cap = 16
+        budget = min(int(1.5 * budget),
+                     _scoped_vmem_cap() - 8 * 1024 * 1024)
+        kv_cap = 14 * 1024 * 1024
     kv = 2 * te * proj * 2                      # K+V, one VMEM copy, bf16
     out_x = (2 * vp + 6 * h1dim + 6 * h2dim + proj
              + heads * te)                      # residual streams, lane dims
@@ -409,14 +435,13 @@ def pick_chunk(batch: int, te: int, proj: int, interpret: bool, *,
     slabs = 16 * (4 * h1dim + 4 * h2dim + heads * te
                   + 2 * proj + 2 * vp) * 4      # fp32 temporaries (fitted)
     row = kv + (out_x + in_x) * 2 * 2 + scratch + slabs
-    budget = int(15.5 * 1024 * 1024)
     for cb in (32, 16, 8):
         # the pre-round-3 conservative K/V-residency cap (7 MB) is kept as
         # an AND-constraint: every chunk the row model admits beyond it
         # (long-Te shapes, e.g. Te=448 at h1=512) is unmeasured on-chip,
         # and the row model's fitted error bars (±65%) don't cover it
         if (cb <= cap and batch % cb == 0 and cb * row <= budget
-                and 2 * cb * te * proj * 2 <= 7 * 1024 * 1024):
+                and 2 * cb * te * proj * 2 <= kv_cap):
             return cb
     return 0  # no valid chunking -> caller falls back to the scan path
 
@@ -460,6 +485,7 @@ def _fwd_chunk(k, v, bias, ctx0, h10, c10, h20, c20, embw1, wc1, whh1, wih2,
     out = pl.pallas_call(
         kernel,
         grid=(n_steps,),
+        compiler_params=_raised_params(h1dim),
         in_specs=[
             pl.BlockSpec((bb, te, proj), _const3),     # k
             pl.BlockSpec((bb, te, proj), _const3),     # v
@@ -544,6 +570,7 @@ def _bwd_chunk(k, v, whh1t, wc1t, wih2t, whh2t, wqt, gates1, c1, c1p, gates2,
     out = pl.pallas_call(
         kernel,
         grid=(n_steps,),
+        compiler_params=_raised_params(h1dim),
         in_specs=(
             [pl.BlockSpec((bb, te, proj), _const3),      # k
              pl.BlockSpec((bb, te, proj), _const3),      # v

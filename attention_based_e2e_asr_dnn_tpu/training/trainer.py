@@ -204,6 +204,19 @@ class Trainer:
         self.train_seconds: list = []
         self.eval_seconds: list = []
 
+        # device_resident_data: assemble + upload every batch ONCE, then all
+        # later epochs train straight off HBM — zero per-step host->device
+        # feature traffic (decisive when the link is thin, e.g. a tunneled
+        # device; still saves ~1 GB/epoch of H2D at train-clean-100 scale).
+        # Trade: batch COMPOSITION freezes at the epoch-0 plan (the batcher's
+        # window shuffle within length-sorted spans); batch ORDER still
+        # reshuffles every epoch. The dev plan is epoch-independent, so
+        # caching it is semantics-free.
+        self.device_resident = bool(
+            getattr(trncfgs, "device_resident_data", False))
+        self._resident_train: Optional[list] = None
+        self._resident_dev: Optional[list] = None
+
         self.ckpt = CheckpointManager(
             os.path.join(saving_dir, "ckpts"), milestone_dir,
             max_savings=int(getattr(trncfgs, "max_savings", 3)),
@@ -320,6 +333,37 @@ class Trainer:
             if prefetcher is not None:
                 prefetcher.close()
 
+    def _resident_batches(self, which: str, epoch: int):
+        """Device-resident feed: materialize the epoch-0 batch plan on the
+        device once, then iterate it from HBM (train: fresh batch-order
+        permutation per epoch; dev: fixed plan, identical semantics)."""
+        cache = self._resident_train if which == "train" else self._resident_dev
+        if cache is None:
+            batcher = self.trn_batcher if which == "train" else self.dev_batcher
+            cache = []
+            nbytes = 0
+            for item in self._prepared_batches(batcher.epoch(0)):
+                # block per batch: bounds host staging memory during the
+                # one-time upload
+                jax.block_until_ready(item[0])
+                nbytes += sum(int(a.nbytes) for a in item[0])
+                cache.append(item)
+            self.logger.print(
+                f"[data] {which} corpus device-resident: {len(cache)} "
+                f"batches, {nbytes / 2**20:.0f} MiB HBM")
+            if which == "train":
+                self._resident_train = cache
+            else:
+                self._resident_dev = cache
+        if which == "train" and getattr(self.trn_batcher, "shuffle", False):
+            rng = np.random.default_rng(
+                int(getattr(self.trn_batcher, "seed", 0)) + epoch)
+            order = rng.permutation(len(cache))
+        else:
+            order = range(len(cache))
+        for i in order:
+            yield cache[i]
+
     def _progress(self, iterable, desc: str):
         """tqdm batch bar when on a tty (reference: src/train.py:110)."""
         try:
@@ -354,8 +398,12 @@ class Trainer:
 
             trace_dir = os.path.join(self.saving_dir, "profile")
             jax.profiler.start_trace(trace_dir)
+        batch_src = (self._resident_batches("train", self.epoch)
+                     if self.device_resident
+                     else self._prepared_batches(
+                         self.trn_batcher.epoch(self.epoch)))
         for batch, _, _, _ in self._progress(
-            self._prepared_batches(self.trn_batcher.epoch(self.epoch)),
+            batch_src,
             f"train epoch[{self.epoch}]",
         ):
             self.state, metrics, att_map = self.train_step(
@@ -399,9 +447,9 @@ class Trainer:
         total_loss = total_ppl = total_ld = 0.0
         n_batches = 0
         eval_params = self._eval_params()
-        for batch, y, ly, indices in self._prepared_batches(
-            self.dev_batcher.epoch(0)
-        ):
+        eval_src = (self._resident_batches("dev", 0) if self.device_resident
+                    else self._prepared_batches(self.dev_batcher.epoch(0)))
+        for batch, y, ly, indices in eval_src:
             if self.eval_beam_step is not None:
                 # ONE listener pass serves loss AND beam LD (want_ids=False
                 # skips the beam scan entirely on non-LD epochs)

@@ -58,16 +58,23 @@ def test_pallas_gradients_match_scan():
                                    atol=3e-4, rtol=1e-4)
 
 
-def test_pallas_gradients_match_scan_big_hidden():
-    """H >= 1024 routes the adjoint around the in-kernel-dW kernel (its fp32
-    accumulator alone exceeds the 16 MB scoped-VMEM stack — compile OOM
-    measured on the scaled arch, 2026-08-18) onto _backward_pallas + the
-    outside sliced einsum. Gradients must stay equivalent on that route."""
-    from attention_based_e2e_asr_dnn_tpu.ops.lstm_pallas import _dw_kernel_fits
+def test_pallas_gradients_match_scan_big_hidden(monkeypatch):
+    """H >= 1024 exceeds the in-kernel-dW kernel's DEFAULT scoped-VMEM fit
+    (fp32 accumulator alone — compile OOM measured on the scaled arch,
+    2026-08-18) and routes onto the plain adjoint (UNCHUNKED under the
+    raised Mosaic limit) + the outside sliced einsum — measured fastest at
+    the scaled flagship shape. TPU_LAS_BIGH_DW=inkernel selects the
+    raised-limit accumulate-into-output dW kernel; TPU_LAS_SCOPED_VMEM_MB=0
+    restores the round-3 batch-chunked route. Gradients must stay
+    equivalent on ALL three routes."""
+    from attention_based_e2e_asr_dnn_tpu.ops.lstm_pallas import (
+        _dw_kernel_fits, _dw_kernel_fits_raised)
 
     B, T, D, H = 2, 4, 4, 1024
-    assert not _dw_kernel_fits(B, H, 2)       # the route this test pins
+    assert not _dw_kernel_fits(B, H, 2)       # default fit says no at H=1024
     assert _dw_kernel_fits(128, 512, 2)       # flagship keeps the dW kernel
+    assert _dw_kernel_fits_raised(B, H, 2)    # raised accout route reachable
+    assert _dw_kernel_fits_raised(128, 1024, 2)  # scaled flagship shape too
     params = lstm_init(jax.random.key(6), D, H)
     x = jax.random.normal(jax.random.key(7), (B, T, D))
     lengths = jnp.array([4, 2])
@@ -79,8 +86,24 @@ def test_pallas_gradients_match_scan_big_hidden():
         return jnp.sum(lstm_apply_pallas(p, xx, lengths, interpret=True) ** 2)
 
     g_ref = jax.grad(loss_ref, argnums=(0, 1))(params, x)
-    g_pal = jax.grad(loss_pal, argnums=(0, 1))(params, x)
+    g_pal = jax.grad(loss_pal, argnums=(0, 1))(params, x)  # default: einsum
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pal)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=1e-4)
+
+    # the raised-limit in-kernel dW route, same gradients
+    monkeypatch.setenv("TPU_LAS_BIGH_DW", "inkernel")
+    g_ik = jax.grad(loss_pal, argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_ik)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=1e-4)
+    monkeypatch.delenv("TPU_LAS_BIGH_DW")
+
+    # raise disabled -> the round-3 batch-chunked route, same gradients
+    monkeypatch.setenv("TPU_LAS_SCOPED_VMEM_MB", "0")
+    assert not _dw_kernel_fits_raised(B, H, 2)
+    g_fb = jax.grad(loss_pal, argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fb)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-4, rtol=1e-4)
 

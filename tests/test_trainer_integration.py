@@ -103,6 +103,40 @@ def test_feed_dtype_auto_matches_float32_wire(tmp_path):
     assert tr32.dev_history["loss"] == trbf.dev_history["loss"]
 
 
+def test_device_resident_data_matches_streamed(tmp_path):
+    """device_resident_data (assemble + upload every batch once, train off
+    HBM) must train identically to the streamed feed when the batch plan is
+    epoch-independent (shuffle off): same batches, same order, zero per-step
+    H2D. The cache must be built exactly once."""
+    tr_stream = _trainer(tmp_path / "a")
+    tr_res = _trainer(tmp_path / "b", extra={"device_resident_data": True})
+    assert tr_res.device_resident
+    tr_stream.train_eval(2)
+    tr_res.train_eval(2)
+    assert tr_stream.train_history["loss"] == tr_res.train_history["loss"]
+    assert tr_stream.dev_history["loss"] == tr_res.dev_history["loss"]
+    assert tr_stream.dev_history["ld"] == tr_res.dev_history["ld"]
+    assert tr_res._resident_train is not None
+    assert tr_res._resident_dev is not None
+    assert len(tr_res._resident_train) == len(tr_res.trn_batcher)
+
+
+def test_device_resident_data_shuffles_batch_order(tmp_path):
+    """With a shuffling batcher, resident mode reuses the SAME device
+    batches across epochs but permutes their order per epoch."""
+    tr = _trainer(tmp_path, extra={"device_resident_data": True})
+    tr.trn_batcher.shuffle = True
+    orders = []
+    for epoch in range(1, 6):
+        ids = [id(item) for item in tr._resident_batches("train", epoch)]
+        orders.append(ids)
+    for o in orders[1:]:
+        assert sorted(o) == sorted(orders[0])      # same cached batches
+    # 2 batches -> some epoch permutations coincide; across 5 epochs at
+    # least one must differ
+    assert any(o != orders[0] for o in orders[1:])
+
+
 def test_trainer_runs_epochs_and_records(tmp_path):
     tr = _trainer(tmp_path)
     tr.train_eval(2)
