@@ -114,11 +114,6 @@ def export_las_decoder(
     from jax import export as jexport
 
     las_cfg = _portable_las_cfg(las_cfg, platforms)
-    if beam_size > 1 and data_parallel > 1:
-        raise NotImplementedError(
-            "data_parallel export currently covers the greedy path; "
-            "beam artifacts are single-device (shard across processes "
-            "instead)")
     if beam_size > 1:
         # The beam path is scan (device) + backpointer walk (host numpy):
         # export the jitted scan; ExportedDecoder finishes with the SAME
@@ -173,11 +168,20 @@ def export_las_decoder(
             raise ValueError(f"batch {batch} not divisible by "
                              f"data_parallel {data_parallel}")
         rep, shard = _dp_shardings(data_parallel)
+        if beam_size > 1:
+            # beam outputs are time-leading: tokens/parents (steps, B, K)
+            # shard on the BATCH axis (1); final_scores (B, K) on axis 0
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            t_shard = NamedSharding(shard.mesh, PartitionSpec(None, "dp"))
+            out_sh = (t_shard, t_shard, shard)
+        else:
+            out_sh = shard
         step = jax.jit(
             step,
             in_shardings=(jax.tree.map(lambda _: rep, params), shard,
                           shard),
-            out_shardings=shard)
+            out_shardings=out_sh)
         p_spec = jax.tree.map(
             lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=rep),
             params)

@@ -310,10 +310,22 @@ def test_data_parallel_export_matches_single_device(tmp_path):
     got = d2.decode_ids(x, lx)
     want = ExportedDecoder(p1).decode_ids(x, lx)
     np.testing.assert_array_equal(got, want)
-    # beam + dp is explicitly out of scope
-    with pytest.raises(NotImplementedError, match="greedy"):
-        export_las_decoder(params, CFG, BATCH, T_PAD, beam_size=2,
-                           data_parallel=2, **common)
+    # beam + dp: tokens/parents shard on the BATCH axis (1), scores on
+    # axis 0; the dp=2 beam artifact must decode identically to the
+    # single-device beam artifact (same host backpointer walk)
+    b1 = str(tmp_path / "beam-dp1.tlas")
+    b2 = str(tmp_path / "beam-dp2.tlas")
+    save_artifact(b1, export_las_decoder(params, CFG, BATCH, T_PAD,
+                                         beam_size=3, **common))
+    save_artifact(b2, export_las_decoder(params, CFG, BATCH, T_PAD,
+                                         beam_size=3, data_parallel=2,
+                                         **common))
+    db2 = ExportedDecoder(b2)
+    assert db2.meta["data_parallel"] == 2
+    assert db2.meta["beam_size"] == 3
+    got_beam = db2.decode_ids(x, lx)
+    want_beam = ExportedDecoder(b1).decode_ids(x, lx)
+    np.testing.assert_array_equal(got_beam, want_beam)
 
 
 def test_artifact_transcriber_routes_by_length(tmp_path):

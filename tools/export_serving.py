@@ -35,8 +35,9 @@ def main(argv=None) -> int:
     ap.add_argument("--no-gate", action="store_true",
                     help="rewriter only: skip the never-worse scorer")
     ap.add_argument("--data-parallel", type=int, default=1,
-                    help="las greedy only: export sharded over an N-device "
-                         "dp mesh (requires N devices wherever it runs)")
+                    help="las only (greedy or beam): export sharded over an "
+                         "N-device dp mesh (requires N devices wherever it "
+                         "runs)")
     ap.add_argument("--quantize", choices=["int8"], default=None,
                     help="weights-only int8: large matrices stored int8 + "
                          "per-channel scales, dequantize baked into the "
