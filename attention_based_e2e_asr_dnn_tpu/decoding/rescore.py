@@ -154,6 +154,107 @@ def make_rewriter_token_scorer(lm_cfg, compute_dtype=jnp.float32):
     return score_tokens
 
 
+def span_anchor_lengths(token_scorer, params, x, lx, conf_tau, fracs):
+    """Anchor-length policies for the span-rewrite candidate set.
+
+    Confidence policy ("conf"): score the INPUT as its own forced candidate
+    and anchor before the first low-confidence REGION — the per-token
+    log-probs smoothed with a W=8 forward moving mean (single bad characters
+    are everywhere in a mid-regime input; an isolated dip is not a span
+    boundary), first smoothed position under ``log(conf_tau)``, backed off 2
+    chars. Fraction policies ("f25"…): fixed fractions of each row's char
+    count — measured at the mid-regime operating point, errors concentrate
+    in the tail (LAS attention degrades with decode depth), so large
+    anchors are strong candidates. Returns [(name, (B,) int32 anchor char
+    counts)]; 0 = full rewrite."""
+    import numpy as np
+
+    tok_lp = np.asarray(token_scorer(params, x, lx, x))      # (B, W)
+    batch, _width = tok_lp.shape
+    lx = np.asarray(lx)
+    n_chars = np.maximum(lx - 2, 0)                          # minus SOS/EOS
+    # candidate position j >= 1 scores char j-1
+    char_lp = tok_lp[:, 1:]
+    win = 8
+    # forward window: smooth[:, i] = mean(char_lp[:, i : i+win]) — a dip
+    # must be a REGION starting at i, not a single character
+    csum = np.concatenate(
+        [np.zeros((batch, 1)), np.cumsum(char_lp, axis=1)], axis=1)
+    n_cols = char_lp.shape[1]
+    hi = np.minimum(np.arange(n_cols) + win, n_cols)
+    lo = np.arange(n_cols)
+    smooth = (csum[:, hi] - csum[:, lo]) / np.maximum(hi - lo, 1)
+    low = smooth < np.log(conf_tau)
+    char_pos = np.arange(low.shape[1])[None, :]
+    low &= char_pos < n_chars[:, None]
+    first_bad = np.where(low.any(1), np.maximum(low.argmax(1) - 2, 0),
+                         n_chars)
+    policies = [("conf", np.minimum(first_bad, n_chars).astype(np.int32))]
+    for f in fracs:
+        policies.append((f"f{int(round(float(f) * 100)):02d}",
+                         (n_chars * float(f)).astype(np.int32)))
+    return policies
+
+
+def span_candidate_families(step_ids, scorer, token_scorer, anchored_step,
+                            params, x, lx, conf_tau, fracs, eos_idx: int,
+                            sos_idx: int, pad_multiple: int = 32):
+    """Every rewrite-candidate family for one batch, scored in ONE stacked
+    dispatch: ``"free"`` (the full rewrite passed in as ``step_ids``), the
+    prefix-anchored families from :func:`span_anchor_lengths` (``"conf"``,
+    ``"fNN"``…), and ``"best"`` (the per-utterance likelihood argmax over
+    all of them).
+
+    Returns ``{name: (ids (B, W) int32 training layout, margins (B,))}``
+    where ``margins = score(candidate) - score(input)`` under the forced
+    scorer — the same quantity the never-worse gate thresholds. Shared by
+    lminfer (which FITS the deployed (family, margin) on labeled pairs) and
+    serving.Corrector (which applies the fitted policy online)."""
+    import numpy as np
+
+    x = np.asarray(x)
+    lx = np.asarray(lx)
+    batch = x.shape[0]
+    anchor_ids = x[:, 1:].astype(np.int32)
+    cand = [("free", np.asarray(step_ids))]
+    for name, alen in span_anchor_lengths(token_scorer, params, x, lx,
+                                          conf_tau, fracs):
+        cand.append((name, np.asarray(
+            anchored_step(params, x, lx, anchor_ids, alen))))
+
+    layouts = [candidates_to_layout(c, eos_idx, sos_idx, x.shape[1],
+                                    pad_multiple) for _, c in cand]
+    width = max(c.shape[1] for c, _ in layouts)
+    # normalize every layout to the common width so per-row gathers
+    # ("best") and per-family returns stack cleanly
+    layouts = [
+        (np.pad(c, ((0, 0), (0, width - c.shape[1])),
+                constant_values=eos_idx) if c.shape[1] < width else c, lc)
+        for c, lc in layouts
+    ]
+    n_c = len(cand)
+    stacked = np.full(((n_c + 1) * batch, width), eos_idx, np.int32)
+    lens = np.zeros(((n_c + 1) * batch,), np.int32)
+    for i, (c, lc) in enumerate(layouts):
+        stacked[i * batch:(i + 1) * batch] = c
+        lens[i * batch:(i + 1) * batch] = lc
+    stacked[n_c * batch:, : x.shape[1]] = x          # the input as candidate
+    lens[n_c * batch:] = lx
+    scores = np.asarray(scorer(
+        params, np.concatenate([x] * (n_c + 1), 0),
+        np.concatenate([lx] * (n_c + 1), 0), stacked, lens))
+    c_scores = scores[: n_c * batch].reshape(n_c, batch)
+    in_scores = scores[n_c * batch:]
+
+    fams = {name: (layouts[i][0], c_scores[i] - in_scores)
+            for i, (name, _) in enumerate(cand)}
+    best = np.argmax(c_scores, axis=0)
+    rows = np.arange(batch)
+    fams["best"] = (np.stack([layouts[best[b]][0][b] for b in rows]),
+                    c_scores[best, rows] - in_scores)
+    return fams
+
+
 def candidates_to_layout(cand_ids, eos_idx: int, sos_idx: int,
                          min_width: int, pad_multiple: int = 32):
     """Raw decoder output rows (chars then EOS/PAD tail) -> training label

@@ -35,46 +35,6 @@ from attention_based_e2e_asr_dnn_tpu.training.steps import make_infer_step
 from attention_based_e2e_asr_dnn_tpu.utils.levenshtein import ids_to_str
 
 
-def _span_anchor_lengths(token_scorer, params, x, lx, conf_tau: float,
-                         fracs) -> list:
-    """Anchor-length policies for the span-rewrite candidate set.
-
-    Confidence policy ("conf"): score the INPUT as its own forced candidate
-    and anchor before the first low-confidence REGION — the per-token
-    log-probs smoothed with a W=8 moving mean (single bad characters are
-    everywhere in a mid-regime input; an isolated dip is not a span
-    boundary), first smoothed position under ``log(conf_tau)``, backed off 2
-    chars. Fraction policies ("f25"…): fixed fractions of each row's char
-    count — measured at the mid-regime operating point, errors concentrate
-    in the tail (LAS attention degrades with decode depth), so large
-    anchors are strong candidates. Returns [(name, (B,) int32 anchor char
-    counts)]; 0 = full rewrite."""
-    tok_lp = np.asarray(token_scorer(params, x, lx, x))      # (B, W)
-    batch, width = tok_lp.shape
-    n_chars = np.maximum(lx - 2, 0)                          # minus SOS/EOS
-    # candidate position j >= 1 scores char j-1
-    char_lp = tok_lp[:, 1:]
-    win = 8
-    # forward window: smooth[:, i] = mean(char_lp[:, i : i+win]) — a dip
-    # must be a REGION starting at i, not a single character
-    csum = np.concatenate(
-        [np.zeros((batch, 1)), np.cumsum(char_lp, axis=1)], axis=1)
-    n_cols = char_lp.shape[1]
-    hi = np.minimum(np.arange(n_cols) + win, n_cols)
-    lo = np.arange(n_cols)
-    smooth = (csum[:, hi] - csum[:, lo]) / np.maximum(hi - lo, 1)
-    low = smooth < np.log(conf_tau)
-    char_pos = np.arange(low.shape[1])[None, :]
-    low &= char_pos < n_chars[:, None]
-    first_bad = np.where(low.any(1), np.maximum(low.argmax(1) - 2, 0),
-                         n_chars)
-    policies = [("conf", np.minimum(first_bad, n_chars).astype(np.int32))]
-    for f in fracs:
-        policies.append((f"f{int(round(float(f) * 100)):02d}",
-                         (n_chars * float(f)).astype(np.int32)))
-    return policies
-
-
 def _decode_candidates(step, scorer, params, batcher, n_examples,
                        span=None):
     """Decode every utterance; returns ``(inputs, families)`` in dataset
@@ -83,17 +43,17 @@ def _decode_candidates(step, scorer, params, batcher, n_examples,
 
     Plain chain: one family, ``"rewrite"`` (the free-running/beam rewrite).
     With ``span``: prefix-anchored families from
-    :func:`_span_anchor_lengths` plus ``"free"`` and ``"best"`` (the
-    per-utterance likelihood argmax over all candidates). The gate fits its
-    threshold — and with span, CHOOSES the policy — on the labeled
-    calibration set; measured at the mid-regime operating point the forced
-    likelihood margin does not rank candidates by gain (corr ≈ -0.07: the
-    corrector overrates its own free-run trajectory), so policy choice must
-    come from calibration LD, not from the model's score.
+    :func:`decoding.rescore.span_candidate_families` plus ``"free"`` and
+    ``"best"`` (the per-utterance likelihood argmax over all candidates).
+    The gate fits its threshold — and with span, CHOOSES the policy — on
+    the labeled calibration set; measured at the mid-regime operating point
+    the forced likelihood margin does not rank candidates by gain
+    (corr ≈ -0.07: the corrector overrates its own free-run trajectory), so
+    policy choice must come from calibration LD, not from the model's score.
     """
     from attention_based_e2e_asr_dnn_tpu.decoding.rescore import (
-        candidates_to_layout,
         gate_corrections,
+        span_candidate_families,
     )
 
     inputs = [None] * n_examples
@@ -110,38 +70,11 @@ def _decode_candidates(step, scorer, params, batcher, n_examples,
         ids = np.asarray(step(params, bt.x, lx))
         batch_fams = {}
         if span is not None and scorer is not None:
-            anchor_ids = x[:, 1:].astype(np.int32)
-            cand = [("free", ids)]
-            for name, alen in _span_anchor_lengths(
-                    span["token_scorer"], params, bt.x, lx,
-                    span["conf_tau"], span["fracs"]):
-                cand.append((name, np.asarray(span["anchored_step"](
-                    params, bt.x, lx, anchor_ids, alen))))
             # ONE stacked dispatch scores every candidate + the input
-            layouts = [candidates_to_layout(c, constants.EOS_IDX,
-                                            constants.SOS_IDX, x.shape[1])
-                       for _, c in cand]
-            width = max(c.shape[1] for c, _ in layouts)
-            n_c, batch = len(cand), x.shape[0]
-            stacked = np.full(((n_c + 1) * batch, width), constants.EOS_IDX,
-                              np.int32)
-            lens = np.zeros(((n_c + 1) * batch,), np.int32)
-            for i, (c, lc) in enumerate(layouts):
-                stacked[i * batch:(i + 1) * batch, : c.shape[1]] = c
-                lens[i * batch:(i + 1) * batch] = lc
-            stacked[n_c * batch:, : x.shape[1]] = x
-            lens[n_c * batch:] = lx
-            scores = np.asarray(scorer(
-                params, np.concatenate([x] * (n_c + 1), 0),
-                np.concatenate([lx] * (n_c + 1), 0), stacked, lens))
-            c_scores = scores[: n_c * batch].reshape(n_c, batch)
-            in_scores = scores[n_c * batch:]
-            for i, (name, c_ids) in enumerate(cand):
-                batch_fams[name] = (c_ids, c_scores[i] - in_scores)
-            best = np.argmax(c_scores, axis=0)
-            rows = np.arange(batch)
-            best_ids = np.stack([layouts[best[b]][0][b] for b in rows])
-            batch_fams["best"] = (best_ids, c_scores[best, rows] - in_scores)
+            batch_fams = span_candidate_families(
+                ids, scorer, span["token_scorer"], span["anchored_step"],
+                params, bt.x, lx, span["conf_tau"], span["fracs"],
+                constants.EOS_IDX, constants.SOS_IDX)
         elif scorer is not None:
             _, s_corr, s_in = gate_corrections(
                 scorer, params, bt.x, lx, ids, constants.EOS_IDX,

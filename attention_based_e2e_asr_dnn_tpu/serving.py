@@ -95,6 +95,18 @@ class Corrector:
     ``decoding.rescore.fit_margin`` on labeled pairs (lminfer's
     ``confidence_margin: "auto"``) and pass the number here.
 
+    ``span_rewrite=True`` deploys the prefix-anchored candidate policy that
+    makes the chain NET-POSITIVE in the mid-error regime (measured +24.9 LD
+    held-out where the free rewrite regresses −37; RESULTS.md "Round-4
+    capstone"): the forced scorer marks the input's confident prefix, the
+    decode is forced along it and free-runs only the suspect tail, and ONE
+    stacked dispatch scores every candidate family. Fit ``(family, margin)``
+    offline with lminfer (``span_rewrite: true`` +
+    ``confidence_margin: "auto"`` prints both) and pass them as
+    ``span_family``/``confidence_margin`` here — the same
+    ``decoding.rescore.span_candidate_families`` machinery runs in both, so
+    offline calibration and online serving cannot drift.
+
     Args:
         exp_folder: Rewriter experiment dir (config.json + ckpts/).
         checkpoint: explicit checkpoint; default = latest best tag.
@@ -102,6 +114,11 @@ class Corrector:
         beam_size: >1 = beam-search rewrites; 0/1 = early-stop greedy.
         confidence_margin: gate threshold; ``gate=False`` disables gating
             (every rewrite is kept — not recommended in production).
+        span_rewrite: widen candidates with prefix-anchored rewrites
+            (requires ``gate=True``).
+        span_family: which candidate family the gate thresholds —
+            ``"free"``, ``"conf"``, ``"best"``, or an ``"fNN"`` fraction
+            anchor from ``span_fracs`` (lminfer's calibration names).
     """
 
     def __init__(
@@ -115,6 +132,10 @@ class Corrector:
         batch_size: int = 32,
         confidence_margin: float = 0.0,
         gate: bool = True,
+        span_rewrite: bool = False,
+        span_family: str = "best",
+        span_conf_tau: float = 0.5,
+        span_fracs: Sequence[float] = (0.25, 0.5, 0.75, 0.9),
     ):
         from attention_based_e2e_asr_dnn_tpu.models.rewriter import (
             RewriterConfig,
@@ -162,6 +183,36 @@ class Corrector:
             self._scorer = make_rewriter_scorer(
                 self.lm_cfg, compute_dtype=self.compute_dtype)
 
+        self._span = None
+        if span_rewrite:
+            if not gate:
+                raise ValueError("span_rewrite requires gate=True "
+                                 "(candidate selection uses the gate's "
+                                 "scorer)")
+            names = {"free", "best", "conf"} | {
+                f"f{int(round(float(f) * 100)):02d}" for f in span_fracs}
+            if span_family not in names:
+                raise ValueError(
+                    f"span_family {span_family!r} not one of {sorted(names)}"
+                    " (fit it with lminfer confidence_margin: auto)")
+            from attention_based_e2e_asr_dnn_tpu.decoding.greedy import (
+                make_rewriter_anchored_step,
+            )
+            from attention_based_e2e_asr_dnn_tpu.decoding.rescore import (
+                make_rewriter_token_scorer,
+            )
+
+            self._span = {
+                "anchored_step": make_rewriter_anchored_step(
+                    self.lm_cfg, compute_dtype=self.compute_dtype,
+                    max_len_factor=max_len_factor),
+                "token_scorer": make_rewriter_token_scorer(
+                    self.lm_cfg, compute_dtype=self.compute_dtype),
+                "family": span_family,
+                "conf_tau": float(span_conf_tau),
+                "fracs": [float(f) for f in span_fracs],
+            }
+
     def correct(self, texts: Sequence[str]) -> List[str]:
         """Rewrite transcriptions; gated rewrites fall back to the input.
         Characters outside the vocabulary are dropped before encoding (LAS
@@ -172,6 +223,7 @@ class Corrector:
         )
         from attention_based_e2e_asr_dnn_tpu.decoding.rescore import (
             gate_corrections,
+            span_candidate_families,
         )
 
         vm, sos, eos = constants.VOCAB_MAP, constants.SOS_IDX, constants.EOS_IDX
@@ -195,16 +247,24 @@ class Corrector:
         for bt in batcher.epoch(0):
             lx = bt.lx.astype(np.int32)
             dec = np.asarray(self._step(self.params, bt.x, lx))
-            if self._scorer is not None:
+            margins = None
+            if self._span is not None:
+                fams = span_candidate_families(
+                    dec, self._scorer, self._span["token_scorer"],
+                    self._span["anchored_step"], self.params, bt.x, lx,
+                    self._span["conf_tau"], self._span["fracs"], eos, sos)
+                dec, margins = fams[self._span["family"]]
+            elif self._scorer is not None:
                 _, s_corr, s_in = gate_corrections(
                     self._scorer, self.params, bt.x, lx, dec, eos, sos,
                     margin=0.0)
+                margins = s_corr - s_in
             for row, orig in enumerate(bt.indices):
                 if orig < 0:
                     continue
                 rewrite = ids_to_str(dec[row], constants.VOCAB, sos, eos)
-                if self._scorer is not None:
-                    keep = float(s_corr[row] - s_in[row]) > self.margin
+                if margins is not None:
+                    keep = float(margins[row]) > self.margin
                     out[orig] = rewrite if keep else texts[orig]
                 else:
                     out[orig] = rewrite

@@ -628,3 +628,31 @@ def test_serving_corrector_gate(pipeline_dirs, tmp_path):
                           corrector=c_block)
     assert chained.transcribe(feats) == c_block.correct(
         plain.transcribe(feats))
+
+    # --- span_rewrite: the fitted-policy chain as a serving object ---
+    # huge margin -> exact identity (never-worse holds for every family)
+    sp_block = Corrector(lm_run, beam_size=0, confidence_margin=1e9,
+                         batch_size=4, span_rewrite=True,
+                         span_family="best")
+    assert sp_block.correct(texts) == texts
+
+    # fraction-anchored family: every KEPT rewrite preserves the forced
+    # prefix of its input (the decode is anchored there by construction)
+    sp_f75 = Corrector(lm_run, beam_size=0, confidence_margin=-1e9,
+                       batch_size=4, span_rewrite=True, span_family="f75")
+    rewrites = sp_f75.correct(texts)
+    for inp, rew in zip(texts, rewrites):
+        alen = int(len(inp) * 0.75)
+        assert rew[:alen] == inp[:alen]
+
+    # "free" family at margin -inf == the ungated plain rewrite
+    sp_free = Corrector(lm_run, beam_size=0, confidence_margin=-1e9,
+                        batch_size=4, span_rewrite=True, span_family="free")
+    c_plain = Corrector(lm_run, beam_size=0, gate=False, batch_size=4)
+    assert sp_free.correct(texts) == c_plain.correct(texts)
+
+    # config guards
+    with pytest.raises(ValueError, match="span_family"):
+        Corrector(lm_run, span_rewrite=True, span_family="nope")
+    with pytest.raises(ValueError, match="gate"):
+        Corrector(lm_run, span_rewrite=True, gate=False)

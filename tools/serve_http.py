@@ -45,6 +45,10 @@ def main(argv=None) -> int:
     ap.add_argument("--corrector-margin", type=float, default=0.0,
                     help="score margin for the never-worse gate (fit one "
                          "with lminfer confidence_margin: auto)")
+    ap.add_argument("--corrector-span-family", default=None,
+                    help="deploy the fitted span-rewrite policy: candidate "
+                         "family name printed by lminfer's auto "
+                         "calibration (e.g. f90, conf, best, free)")
     ap.add_argument("--data-parallel", type=int, default=1)
     args = ap.parse_args(argv)
 
@@ -73,6 +77,7 @@ def main(argv=None) -> int:
         # NO correction gate and no warning
         ignored = [flag for flag, val in [
             ("--corrector", args.corrector),
+            ("--corrector-span-family", args.corrector_span_family),
             ("--checkpoint", args.checkpoint),
             ("--average", args.average or None),
             ("--beam-size", args.beam_size or None),
@@ -116,8 +121,11 @@ def main(argv=None) -> int:
 
         corrector = None
         if args.corrector:
+            span = args.corrector_span_family
             corrector = Corrector(args.corrector,
-                                  confidence_margin=args.corrector_margin)
+                                  confidence_margin=args.corrector_margin,
+                                  span_rewrite=span is not None,
+                                  span_family=span or "best")
         transcriber = Transcriber(
             args.exp_folder,
             checkpoint=args.checkpoint,
