@@ -234,6 +234,9 @@ def export_rewriter_corrector(
     length_alpha: float = 0.0,
     max_len_factor: float = 3.0,
     gate: bool = True,
+    span_rewrite: bool = False,
+    span_conf_tau: float = 0.5,
+    span_fracs: Sequence[float] = (0.25, 0.5, 0.75, 0.9),
     quantize: Optional[str] = None,
     platforms: Sequence[str] = ("tpu", "cpu"),
 ) -> dict:
@@ -244,6 +247,15 @@ def export_rewriter_corrector(
     ``gate=True`` additionally serializes the forced-decode scorer
     (decoding/rescore.py) so ``ExportedCorrector`` can apply the
     confidence gate on deployment hosts — margin stays a RUNTIME knob.
+
+    ``span_rewrite=True`` (requires ``gate``) additionally serializes the
+    per-token confidence scorer and the prefix-anchored decode step, so the
+    fitted span-rewrite policy (RESULTS.md "Round-4 capstone") deploys
+    model-code-free: ``ExportedCorrector.correct(texts, margin=...,
+    span_family=...)`` runs the same ``span_candidate_families`` machinery
+    as lminfer's calibration and serving.Corrector. The family and margin
+    stay RUNTIME knobs (fit them offline with lminfer's
+    ``confidence_margin: "auto"``).
     """
     import dataclasses
 
@@ -366,6 +378,42 @@ def export_rewriter_corrector(
         artifact["mlir_scorer"] = jexport.export(
             scorer, platforms=list(platforms))(
                 p_spec, s2, l2, s2, l2).serialize()
+
+    if span_rewrite:
+        if not gate:
+            raise ValueError("span_rewrite requires gate=True (candidate "
+                             "selection uses the gate's scorer)")
+        from attention_based_e2e_asr_dnn_tpu.decoding.greedy import (
+            make_rewriter_anchored_step,
+        )
+        from attention_based_e2e_asr_dnn_tpu.decoding.rescore import (
+            make_rewriter_token_scorer,
+        )
+
+        tok = make_rewriter_token_scorer(lm_cfg, compute_dtype=cdt)
+        anch = make_rewriter_anchored_step(
+            lm_cfg, compute_dtype=cdt, max_len_factor=max_len_factor)
+        if _dq is not None:
+            inner_tok, inner_anch = tok, anch
+
+            @jax.jit
+            def tok(qp, x, lx, cand):
+                return inner_tok(_dq(qp), x, lx, cand)
+
+            @jax.jit
+            def anch(qp, x, lx, aid, alen):
+                return inner_anch(_dq(qp), x, lx, aid, alen)
+
+        xw = jax.ShapeDtypeStruct((batch, t_pad), np.int32)
+        lw = jax.ShapeDtypeStruct((batch,), np.int32)
+        aw = jax.ShapeDtypeStruct((batch, t_pad - 1), np.int32)
+        artifact["mlir_token_scorer"] = jexport.export(
+            tok, platforms=list(platforms))(p_spec, xw, lw, xw).serialize()
+        artifact["mlir_anchored"] = jexport.export(
+            anch, platforms=list(platforms))(
+                p_spec, xw, lw, aw, lw).serialize()
+        artifact["meta"]["span_conf_tau"] = float(span_conf_tau)
+        artifact["meta"]["span_fracs"] = [float(f) for f in span_fracs]
     return artifact
 
 
@@ -379,9 +427,10 @@ def save_artifact(path: str, artifact: dict) -> str:
     arrays["__record__"] = np.frombuffer(
         json.dumps(record).encode("utf-8"), dtype=np.uint8)
     arrays["__mlir__"] = np.frombuffer(artifact["mlir"], dtype=np.uint8)
-    if "mlir_scorer" in artifact:
-        arrays["__mlir_scorer__"] = np.frombuffer(
-            artifact["mlir_scorer"], dtype=np.uint8)
+    for aux in ("mlir_scorer", "mlir_token_scorer", "mlir_anchored"):
+        if aux in artifact:
+            arrays[f"__{aux}__"] = np.frombuffer(artifact[aux],
+                                                 dtype=np.uint8)
     tmp = path + ".tmp"
     with open(tmp, "wb") as fh:
         np.savez(fh, **arrays)
@@ -421,6 +470,11 @@ class ExportedDecoder:
             mlir = bytes(z["__mlir__"])
             self._scorer_mlir = (bytes(z["__mlir_scorer__"])
                                  if "__mlir_scorer__" in z.files else None)
+            self._aux_mlir = {
+                aux: bytes(z[f"__{aux}__"])
+                for aux in ("mlir_token_scorer", "mlir_anchored")
+                if f"__{aux}__" in z.files
+            }
         self._exported = jexport.deserialize(mlir)
         self._dp_shard = None  # lazily built for data_parallel artifacts
         import threading
@@ -508,6 +562,12 @@ class ExportedCorrector(ExportedDecoder):
         super().__init__(path)
         self._scorer = (jexport.deserialize(self._scorer_mlir)
                         if self._scorer_mlir is not None else None)
+        self._token_scorer = self._anchored = None
+        if "mlir_token_scorer" in self._aux_mlir:
+            self._token_scorer = jexport.deserialize(
+                self._aux_mlir["mlir_token_scorer"])
+            self._anchored = jexport.deserialize(
+                self._aux_mlir["mlir_anchored"])
 
     def transcribe(self, features):  # features are audio-side; not here
         raise TypeError(
@@ -515,11 +575,18 @@ class ExportedCorrector(ExportedDecoder):
             ".transcribe() is the LAS ExportedDecoder API")
 
     def correct(self, texts: Sequence[str], margin: float = 0.0,
-                on_overflow: str = "raise") -> List[str]:
+                on_overflow: str = "raise",
+                span_family: Optional[str] = None) -> List[str]:
         """``on_overflow``: what to do with a text longer than the exported
         width — "raise" (direct-API default) or "passthrough" (keep the
         input uncorrected; what the serving chain wants, since skipping a
-        correction is always never-worse)."""
+        correction is always never-worse).
+
+        ``span_family``: deploy the fitted span-rewrite policy — the gate
+        thresholds this candidate family ("free", "conf", "best", or an
+        "fNN" fraction anchor; lminfer's auto calibration prints the fitted
+        (family, margin) pair). Requires an artifact exported with
+        ``span_rewrite=True``."""
         if on_overflow not in ("raise", "passthrough"):
             raise ValueError(f"on_overflow={on_overflow!r}")
         if margin != 0.0 and self._scorer is None:
@@ -527,6 +594,10 @@ class ExportedCorrector(ExportedDecoder):
                 "margin set but this artifact was exported with "
                 "gate=False (no scorer program) — every rewrite would be "
                 "applied unconditionally; re-export without --no-gate")
+        if span_family is not None and self._anchored is None:
+            raise ValueError(
+                "span_family set but this artifact carries no span "
+                "programs — re-export with span_rewrite=True")
         m = self.meta
         vm = {c: i for i, c in enumerate(m["vocab"])}
         sos, eos = m["sos_idx"], m["eos_idx"]
@@ -551,7 +622,24 @@ class ExportedCorrector(ExportedDecoder):
                 x[r, : len(row)] = row
                 lx[r] = len(row)
             dec = self.decode_ids(x, lx)
-            if self._scorer is not None:
+            use = None
+            if span_family is not None:
+                from attention_based_e2e_asr_dnn_tpu.decoding.rescore import (
+                    span_candidate_families,
+                )
+
+                fams = span_candidate_families(
+                    dec, self._chunked_scorer(), self._token_fn(),
+                    self._anchored_fn(), self.params, x, lx,
+                    self.meta["span_conf_tau"], self.meta["span_fracs"],
+                    eos, sos)
+                if span_family not in fams:
+                    raise ValueError(
+                        f"span_family {span_family!r} not one of "
+                        f"{sorted(fams)}")
+                dec, margins = fams[span_family]
+                use = margins > margin
+            elif self._scorer is not None:
                 from attention_based_e2e_asr_dnn_tpu.decoding.rescore import (
                     gate_corrections,
                 )
@@ -574,9 +662,50 @@ class ExportedCorrector(ExportedDecoder):
                     out[start + r] = texts[start + r]
                     continue
                 rewrite = self._detok(dec[r])
-                keep = bool(use[r]) if self._scorer is not None else True
+                keep = bool(use[r]) if use is not None else True
                 out[start + r] = rewrite if keep else texts[start + r]
         return out
+
+    # --- span-program adapters: present the static exported programs as
+    # the callables decoding.rescore.span_candidate_families expects ---
+
+    def _token_fn(self):
+        def tok(_p, x, lx, cand):
+            return self._token_scorer.call(self.params, x, lx, cand)
+        return tok
+
+    def _anchored_fn(self):
+        def anch(_p, x, lx, anchor_ids, anchor_len):
+            return self._anchored.call(self.params, x, lx, anchor_ids,
+                                       np.asarray(anchor_len, np.int32))
+        return anch
+
+    def _chunked_scorer(self):
+        """The exported scorer is static at (2B, score_width); the span
+        machinery stacks (n_families+1)*B rows of a narrower width. Chunk
+        and pad — each row's forced score is row-local, so the chunking is
+        exact."""
+        B = self.meta["batch"]
+        ws = self.meta["score_width"]
+        eos = self.meta["eos_idx"]
+
+        def score(_p, x, lx, cand, lc):
+            n = x.shape[0]
+            out = np.zeros((n,), np.float32)
+            for s in range(0, n, 2 * B):
+                e = min(s + 2 * B, n)
+                bx = np.full((2 * B, ws), eos, np.int32)
+                bx[: e - s, : x.shape[1]] = x[s:e]
+                blx = np.ones((2 * B,), np.int32)
+                blx[: e - s] = lx[s:e]
+                bc = np.full((2 * B, ws), eos, np.int32)
+                bc[: e - s, : cand.shape[1]] = cand[s:e]
+                blc = np.ones((2 * B,), np.int32)
+                blc[: e - s] = lc[s:e]
+                out[s:e] = np.asarray(self._scorer.call(
+                    self.params, bx, blx, bc, blc))[: e - s]
+            return out
+        return score
 
 
 class ArtifactTranscriber:
@@ -796,6 +925,7 @@ def export_corrector_from_experiment(
     length_alpha: float = 0.0,
     max_len_factor: float = 3.0,
     gate: bool = True,
+    span_rewrite: bool = False,
     quantize: Optional[str] = None,
     platforms: Sequence[str] = ("tpu", "cpu"),
 ) -> str:
@@ -818,7 +948,7 @@ def export_corrector_from_experiment(
         eos_idx=constants.EOS_IDX, pad_idx=constants.PAD_IDX,
         compute_dtype=getattr(snap, "compute_dtype", "float32"),
         beam_size=beam_size, length_alpha=length_alpha,
-        max_len_factor=max_len_factor, gate=gate, quantize=quantize,
-        platforms=platforms,
+        max_len_factor=max_len_factor, gate=gate, span_rewrite=span_rewrite,
+        quantize=quantize, platforms=platforms,
     )
     return save_artifact(out_path, artifact)

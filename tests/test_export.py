@@ -457,6 +457,70 @@ def test_gateless_corrector_rejects_margin_and_warmup_covers_corrector(
     assert at.wait_ready(timeout=0)
 
 
+def test_span_corrector_artifact_matches_serving(tmp_path):
+    """A span_rewrite artifact bundles the anchored decode + per-token
+    scorer; correct(span_family=...) must reproduce serving.Corrector's
+    fitted-policy chain exactly — the model-code-free deployment of the
+    net-positive mid-regime mechanism."""
+    from attention_based_e2e_asr_dnn_tpu.export import (
+        ExportedCorrector,
+        export_corrector_from_experiment,
+    )
+    from attention_based_e2e_asr_dnn_tpu.models.rewriter import (
+        RewriterConfig,
+    )
+    from attention_based_e2e_asr_dnn_tpu.serving import Corrector
+
+    lm_cfg = RewriterConfig(
+        vocab_size=30, emb_dim=16, enc_lstm_layers=2, enc_lstm_hid_dim=8,
+        att_proj_dim=8, att_heads=2, dec_lstm_hid_dim=12,
+        dec_lstm_out_dim=10, CHR_MAX_STEPS=12)
+    exp = _make_lm_experiment(str(tmp_path / "lm"), lm_cfg)
+    out = str(tmp_path / "span.tlas")
+    export_corrector_from_experiment(exp, out, batch=2, t_pad=32,
+                                     span_rewrite=True, platforms=("cpu",))
+    dec = ExportedCorrector(out)
+    assert dec.meta["span_fracs"] == [0.25, 0.5, 0.75, 0.9]
+
+    texts = ["HELLO WORLD", "THE CAT", "A", "HI THERE YO"]  # 2 chunks of 2
+    for family, margin in (("best", 0.0), ("f75", -1e9), ("conf", -0.5),
+                           ("free", -1e9)):
+        serv = Corrector(exp, beam_size=0, confidence_margin=margin,
+                         batch_size=2, span_rewrite=True,
+                         span_family=family)
+        got = dec.correct(texts, margin=margin, span_family=family)
+        assert got == serv.correct(texts), (family, margin)
+
+    # huge margin -> exact identity through the artifact too
+    assert dec.correct(texts, margin=1e9, span_family="best") == texts
+    # anchored family preserves the forced prefix of every kept rewrite
+    kept = dec.correct(texts, margin=-1e9, span_family="f75")
+    for inp, rew in zip(texts, kept):
+        alen = int(len(inp) * 0.75)
+        assert rew[:alen] == inp[:alen]
+    # unknown family + span on a non-span artifact both fail loudly
+    with pytest.raises(ValueError, match="span_family"):
+        dec.correct(texts, span_family="nope")
+    plain = str(tmp_path / "plain.tlas")
+    export_corrector_from_experiment(exp, plain, batch=2, t_pad=32,
+                                     platforms=("cpu",))
+    with pytest.raises(ValueError, match="span programs"):
+        ExportedCorrector(plain).correct(texts, span_family="best")
+
+    # the CLI exports + checks a span artifact end-to-end
+    import sys
+    sys.path.insert(0, "tools")
+    try:
+        import export_serving as cli
+    finally:
+        sys.path.pop(0)
+    out2 = str(tmp_path / "cli-span.tlas")
+    assert cli.main([exp, "-o", out2, "--model", "rewriter", "--batch", "2",
+                     "--t-pad", "32", "--platforms", "cpu",
+                     "--span-rewrite", "--check"]) == 0
+    assert ExportedCorrector(out2)._anchored is not None
+
+
 def test_export_from_experiment_and_cli(tmp_path):
     """Fabricated experiment folder (config.json snapshot + ckpt) exports,
     and the CLI --check path drives the artifact end to end."""

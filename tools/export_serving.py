@@ -34,6 +34,11 @@ def main(argv=None) -> int:
     ap.add_argument("--max-len-factor", type=float, default=3.0)
     ap.add_argument("--no-gate", action="store_true",
                     help="rewriter only: skip the never-worse scorer")
+    ap.add_argument("--span-rewrite", action="store_true",
+                    help="rewriter only: also bundle the prefix-anchored "
+                         "decode + per-token confidence scorer so the "
+                         "fitted span policy runs model-code-free "
+                         "(correct(span_family=...))")
     ap.add_argument("--data-parallel", type=int, default=1,
                     help="las only (greedy or beam): export sharded over an "
                          "N-device dp mesh (requires N devices wherever it "
@@ -45,6 +50,10 @@ def main(argv=None) -> int:
     ap.add_argument("--platforms", nargs="+", default=["tpu", "cpu"])
     ap.add_argument("--check", action="store_true")
     args = ap.parse_args(argv)
+    if args.span_rewrite and args.model != "rewriter":
+        ap.error("--span-rewrite applies to --model rewriter")
+    if args.span_rewrite and args.no_gate:
+        ap.error("--span-rewrite requires the gate scorer (drop --no-gate)")
 
     # tracing/lowering touches the pinned device backend — fail fast with
     # a diagnostic when it is down instead of hanging in backend init
@@ -69,6 +78,7 @@ def main(argv=None) -> int:
             average=args.average, beam_size=args.beam_size,
             length_alpha=args.length_alpha,
             max_len_factor=args.max_len_factor, gate=not args.no_gate,
+            span_rewrite=args.span_rewrite,
             quantize=args.quantize, platforms=tuple(args.platforms),
         )
         print(f"exported -> {path} ({os.path.getsize(path) / 1e6:.1f} MB)")
