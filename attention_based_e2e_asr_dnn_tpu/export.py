@@ -723,7 +723,8 @@ class ArtifactTranscriber:
 
     def __init__(self, artifact_paths: Sequence[str],
                  corrector: Optional["ExportedCorrector"] = None,
-                 margin: float = 0.0):
+                 margin: float = 0.0,
+                 span_family: Optional[str] = None):
         if isinstance(artifact_paths, (str, os.PathLike)):
             artifact_paths = [artifact_paths]
         self.buckets = sorted((ExportedDecoder(p) for p in artifact_paths),
@@ -756,8 +757,15 @@ class ArtifactTranscriber:
                     "corrector-margin set but the corrector artifact was "
                     "exported with gate=False (no scorer) — the margin "
                     "would be silently ignored")
+            if span_family is not None and corrector._anchored is None:
+                raise ValueError(
+                    "span_family set but the corrector artifact carries "
+                    "no span programs — re-export with span_rewrite=True")
+        elif span_family is not None:
+            raise ValueError("span_family needs a corrector artifact")
         self.corrector = corrector
         self.margin = margin
+        self.span_family = span_family
         self.n_feats = self.buckets[0].meta["input_dim"]
         self.vocab = self.buckets[0].meta["vocab"]
         self.batch_size = max(d.meta["batch"] for d in self.buckets)
@@ -809,9 +817,12 @@ class ArtifactTranscriber:
                         np.ones((m["batch"],), np.int32))
                 if self.corrector is not None:
                     # one dummy correction compiles the rewrite decode AND
-                    # the gate scorer — otherwise /readyz goes 200 while
-                    # the first gated request still stalls on two compiles
-                    self.corrector.correct(["A"], margin=self.margin)
+                    # the gate scorer (and, with a span family, the
+                    # anchored decode + token scorer) — otherwise /readyz
+                    # goes 200 while the first gated request still stalls
+                    # on the compiles
+                    self.corrector.correct(["A"], margin=self.margin,
+                                           span_family=self.span_family)
             except BaseException as exc:  # surfaced via wait_ready
                 self._warmup_error = exc
             finally:
@@ -869,7 +880,8 @@ class ArtifactTranscriber:
             # keeps its uncorrected text (never-worse), rather than
             # failing the whole batch like a raise would
             out = self.corrector.correct(out, margin=self.margin,
-                                         on_overflow="passthrough")
+                                         on_overflow="passthrough",
+                                         span_family=self.span_family)
         return out  # type: ignore[return-value]
 
 

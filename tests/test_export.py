@@ -457,7 +457,7 @@ def test_gateless_corrector_rejects_margin_and_warmup_covers_corrector(
     assert at.wait_ready(timeout=0)
 
 
-def test_span_corrector_artifact_matches_serving(tmp_path):
+def test_span_corrector_artifact_matches_serving(tmp_path, artifact_path):
     """A span_rewrite artifact bundles the anchored decode + per-token
     scorer; correct(span_family=...) must reproduce serving.Corrector's
     fitted-policy chain exactly — the model-code-free deployment of the
@@ -519,6 +519,25 @@ def test_span_corrector_artifact_matches_serving(tmp_path):
                      "--t-pad", "32", "--platforms", "cpu",
                      "--span-rewrite", "--check"]) == 0
     assert ExportedCorrector(out2)._anchored is not None
+
+    # ArtifactTranscriber chains the span policy (and validates it up
+    # front: a plain-gate corrector artifact cannot take a span family)
+    from attention_based_e2e_asr_dnn_tpu.export import ArtifactTranscriber
+
+    las_path, _ = artifact_path
+    at = ArtifactTranscriber([las_path], corrector=dec, margin=-1e9,
+                             span_family="f75")
+    feats = [np.random.default_rng(3).standard_normal((12, 15))
+             .astype(np.float32)]
+    plain_texts = ArtifactTranscriber([las_path]).transcribe(feats)
+    assert at.transcribe(feats) == dec.correct(
+        plain_texts, margin=-1e9, on_overflow="passthrough",
+        span_family="f75")
+    with pytest.raises(ValueError, match="span programs"):
+        ArtifactTranscriber([las_path], corrector=ExportedCorrector(plain),
+                            span_family="f75")
+    with pytest.raises(ValueError, match="needs a corrector"):
+        ArtifactTranscriber([las_path], span_family="f75")
 
 
 def test_export_from_experiment_and_cli(tmp_path):

@@ -48,7 +48,9 @@ def main(argv=None) -> int:
     ap.add_argument("--corrector-span-family", default=None,
                     help="deploy the fitted span-rewrite policy: candidate "
                          "family name printed by lminfer's auto "
-                         "calibration (e.g. f90, conf, best, free)")
+                         "calibration (e.g. f90, conf, best, free). Works "
+                         "with --corrector (experiment mode) and with "
+                         "--corrector-artifact exported --span-rewrite")
     ap.add_argument("--data-parallel", type=int, default=1)
     args = ap.parse_args(argv)
 
@@ -77,7 +79,9 @@ def main(argv=None) -> int:
         # NO correction gate and no warning
         ignored = [flag for flag, val in [
             ("--corrector", args.corrector),
-            ("--corrector-span-family", args.corrector_span_family),
+            ("--corrector-span-family",
+             args.corrector_span_family
+             if not args.corrector_artifact else None),
             ("--checkpoint", args.checkpoint),
             ("--average", args.average or None),
             ("--beam-size", args.beam_size or None),
@@ -106,7 +110,8 @@ def main(argv=None) -> int:
                      if args.corrector_artifact else None)
         transcriber = ArtifactTranscriber(
             args.artifact, corrector=corrector,
-            margin=args.corrector_margin)
+            margin=args.corrector_margin,
+            span_family=args.corrector_span_family)
         if args.warmup is not None:
             # background: the HTTP server binds first; /readyz gates
             transcriber.warmup(background=True)
