@@ -176,16 +176,23 @@ def span_anchor_lengths(token_scorer, params, x, lx, conf_tau, fracs):
     # candidate position j >= 1 scores char j-1
     char_lp = tok_lp[:, 1:]
     win = 8
-    # forward window: smooth[:, i] = mean(char_lp[:, i : i+win]) — a dip
-    # must be a REGION starting at i, not a single character
-    csum = np.concatenate(
-        [np.zeros((batch, 1)), np.cumsum(char_lp, axis=1)], axis=1)
     n_cols = char_lp.shape[1]
-    hi = np.minimum(np.arange(n_cols) + win, n_cols)
+    char_pos = np.arange(n_cols)[None, :]
+    # forward window: smooth[:, i] = mean(char_lp[:, i : i+win]) — a dip
+    # must be a REGION starting at i, not a single character. The window is
+    # clamped PER ROW to n_chars: positions past the last real char score
+    # p(EOS | EOS...) continuations the loss mask never trained, and letting
+    # that garbage into the tail windows cut confident endings short.
+    csum = np.concatenate(
+        [np.zeros((batch, 1)),
+         np.cumsum(np.where(char_pos < n_chars[:, None], char_lp, 0.0),
+                   axis=1)], axis=1)
     lo = np.arange(n_cols)
-    smooth = (csum[:, hi] - csum[:, lo]) / np.maximum(hi - lo, 1)
+    hi = np.minimum(lo[None, :] + win, n_chars[:, None])     # (B, n_cols)
+    hi = np.maximum(hi, lo[None, :])                 # empty window past end
+    smooth = ((np.take_along_axis(csum, hi, axis=1) - csum[:, lo])
+              / np.maximum(hi - lo[None, :], 1))
     low = smooth < np.log(conf_tau)
-    char_pos = np.arange(low.shape[1])[None, :]
     low &= char_pos < n_chars[:, None]
     first_bad = np.where(low.any(1), np.maximum(low.argmax(1) - 2, 0),
                          n_chars)
@@ -224,15 +231,42 @@ def span_candidate_families(step_ids, scorer, token_scorer, anchored_step,
 
     layouts = [candidates_to_layout(c, eos_idx, sos_idx, x.shape[1],
                                     pad_multiple) for _, c in cand]
+    layouts, c_scores, in_scores = _score_stacked(scorer, params, x, lx,
+                                                  layouts, eos_idx)
+
+    fams = {name: (layouts[i][0], c_scores[i] - in_scores)
+            for i, (name, _) in enumerate(cand)}
+    best = np.argmax(c_scores, axis=0)
+    rows = np.arange(batch)
+    fams["best"] = (np.stack([layouts[best[b]][0][b] for b in rows]),
+                    c_scores[best, rows] - in_scores)
+    return fams
+
+
+def _score_stacked(scorer, params, x, lx, layouts, eos_idx: int):
+    """Score N candidate layouts + the input itself in ONE stacked scorer
+    dispatch (the relay is dispatch-floor-bound, so every gated batch pays
+    for per-candidate dispatches directly).
+
+    ``layouts``: list of (cand (B, W_i), lc (B,)) training-layout pairs.
+    Returns ``(layouts_wide, c_scores (N, B), in_scores (B,))`` where every
+    returned layout is padded to the common width so per-row gathers
+    ("best") and per-family returns stack cleanly. The single shared
+    implementation behind :func:`span_candidate_families` and
+    :func:`select_among_candidates` — the gate's candidate layout cannot
+    drift between them."""
+    import numpy as np
+
+    x = np.asarray(x)
+    lx = np.asarray(lx)
+    batch = x.shape[0]
+    n_c = len(layouts)
     width = max(c.shape[1] for c, _ in layouts)
-    # normalize every layout to the common width so per-row gathers
-    # ("best") and per-family returns stack cleanly
     layouts = [
         (np.pad(c, ((0, 0), (0, width - c.shape[1])),
                 constant_values=eos_idx) if c.shape[1] < width else c, lc)
         for c, lc in layouts
     ]
-    n_c = len(cand)
     stacked = np.full(((n_c + 1) * batch, width), eos_idx, np.int32)
     lens = np.zeros(((n_c + 1) * batch,), np.int32)
     for i, (c, lc) in enumerate(layouts):
@@ -243,16 +277,8 @@ def span_candidate_families(step_ids, scorer, token_scorer, anchored_step,
     scores = np.asarray(scorer(
         params, np.concatenate([x] * (n_c + 1), 0),
         np.concatenate([lx] * (n_c + 1), 0), stacked, lens))
-    c_scores = scores[: n_c * batch].reshape(n_c, batch)
-    in_scores = scores[n_c * batch:]
-
-    fams = {name: (layouts[i][0], c_scores[i] - in_scores)
-            for i, (name, _) in enumerate(cand)}
-    best = np.argmax(c_scores, axis=0)
-    rows = np.arange(batch)
-    fams["best"] = (np.stack([layouts[best[b]][0][b] for b in rows]),
-                    c_scores[best, rows] - in_scores)
-    return fams
+    return (layouts, scores[: n_c * batch].reshape(n_c, batch),
+            scores[n_c * batch:])
 
 
 def candidates_to_layout(cand_ids, eos_idx: int, sos_idx: int,
@@ -298,34 +324,17 @@ def select_among_candidates(scorer, params, x, lx, cand_ids_list,
     x = np.asarray(x)
     lx = np.asarray(lx)
     batch = x.shape[0]
-    n_cand = len(cand_ids_list)
 
     layouts = [candidates_to_layout(c, eos_idx, sos_idx, x.shape[1],
                                     pad_multiple) for c in cand_ids_list]
-    width = max(c.shape[1] for c, _ in layouts)
-    stacked = np.full(((n_cand + 1) * batch, width), eos_idx, np.int32)
-    lens = np.zeros(((n_cand + 1) * batch,), np.int32)
-    for i, (cand, lc) in enumerate(layouts):
-        stacked[i * batch : (i + 1) * batch, : cand.shape[1]] = cand
-        lens[i * batch : (i + 1) * batch] = lc
-    stacked[n_cand * batch :, : x.shape[1]] = x      # the input as candidate
-    lens[n_cand * batch :] = lx
-
-    x_rep = np.concatenate([x] * (n_cand + 1), 0)
-    lx_rep = np.concatenate([lx] * (n_cand + 1), 0)
-    scores = np.asarray(scorer(params, x_rep, lx_rep, stacked, lens))
-    cand_scores = scores[: n_cand * batch].reshape(n_cand, batch)
-    input_scores = scores[n_cand * batch :]
+    layouts, cand_scores, input_scores = _score_stacked(
+        scorer, params, x, lx, layouts, eos_idx)
 
     best = np.argmax(cand_scores, axis=0)                      # (B,)
-    margins = cand_scores[best, np.arange(batch)] - input_scores
-    best_ids = np.stack([layouts[best[b]][0][b] if layouts[best[b]][0].shape[1] == width
-                         else np.concatenate([layouts[best[b]][0][b],
-                                              np.full((width - layouts[best[b]][0].shape[1],),
-                                                      eos_idx, np.int32)])
-                         for b in range(batch)])
-    best_lc = np.array([layouts[best[b]][1][b] for b in range(batch)],
-                       np.int32)
+    rows = np.arange(batch)
+    margins = cand_scores[best, rows] - input_scores
+    best_ids = np.stack([layouts[best[b]][0][b] for b in rows])
+    best_lc = np.array([layouts[best[b]][1][b] for b in rows], np.int32)
     return best_ids, best_lc, margins
 
 

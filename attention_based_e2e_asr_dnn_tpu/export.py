@@ -938,13 +938,19 @@ def export_corrector_from_experiment(
     max_len_factor: float = 3.0,
     gate: bool = True,
     span_rewrite: bool = False,
+    span_conf_tau: float = 0.5,
+    span_fracs: Sequence[float] = (0.25, 0.5, 0.75, 0.9),
     quantize: Optional[str] = None,
     platforms: Sequence[str] = ("tpu", "cpu"),
 ) -> str:
     """Rewriter (LM) experiment -> one correction ``.tlas`` artifact.
 
     Vocabulary comes from the shared constants table, exactly as
-    ``serving.Corrector`` resolves it.
+    ``serving.Corrector`` resolves it. ``span_conf_tau``/``span_fracs``
+    must match the knobs lminfer calibrated with — they name the candidate
+    families the fitted ``span_family`` points into, so exporting with
+    different values would silently deploy a different policy than the one
+    that was fitted.
     """
     from attention_based_e2e_asr_dnn_tpu import constants
     from attention_based_e2e_asr_dnn_tpu.models.rewriter import (
@@ -961,6 +967,7 @@ def export_corrector_from_experiment(
         compute_dtype=getattr(snap, "compute_dtype", "float32"),
         beam_size=beam_size, length_alpha=length_alpha,
         max_len_factor=max_len_factor, gate=gate, span_rewrite=span_rewrite,
+        span_conf_tau=span_conf_tau, span_fracs=span_fracs,
         quantize=quantize, platforms=platforms,
     )
     return save_artifact(out_path, artifact)

@@ -247,6 +247,19 @@ def infer_one_checkpoint(model_cfgs, tstcfgs, checkpoint_filepath, batcher,
     else:
         family = getattr(tstcfgs, "span_family", None) or default_family
         margin = cfg_float(tstcfgs, "confidence_margin", 0.0)
+        # validate the name BEFORE the decode epoch: fams[family] after
+        # minutes of device work would otherwise die on a bare KeyError
+        # (serving.Corrector validates the same way up front)
+        if span is not None:
+            valid = {"free", "conf", "best"} | {
+                f"f{int(round(float(f) * 100)):02d}" for f in span["fracs"]}
+        else:
+            valid = {"rewrite"}
+        if family not in valid:
+            raise ValueError(
+                f"span_family {family!r} not one of {sorted(valid)}"
+                + ("" if span is not None else
+                   " (anchored families need span_rewrite: true)"))
 
     inputs, fams = _decode_candidates(
         step, scorer, params, batcher, n_examples, span=span)

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import functools
 import os
+import re
 
 
 import jax
@@ -499,15 +500,44 @@ def _lstm_bwd_dw_accout_kernel(g_ref, cs_ref, cp_ref, dy_ref, hs_ref,
                         k_block=k_block, grid=grid, scan_desc=scan_desc)
 
 
+@functools.lru_cache(maxsize=1)
+def _raised_vmem_default_mb() -> int:
+    """Unset-env default for the raised scoped-VMEM budget, per device
+    generation. 64 MB is MEASURED safe on v5e (96 MB fp32 scratch kernels
+    compiled and ran, 2026-08-19) and assumed for later generations; older
+    real chips (v2/v3/v4) keep the conservative round-3 routing
+    (batch-chunk + outside einsum) that is known to compile everywhere —
+    a 64 MB Mosaic request there could fail at compile time where the
+    chunked route worked. Non-TPU backends (interpret-mode CPU tests)
+    mirror the v5e routing so equivalence tests exercise the raised paths."""
+    try:
+        kind = jax.devices()[0].device_kind
+    except Exception:
+        return 64
+    return _raised_mb_for_kind(kind)
+
+
+def _raised_mb_for_kind(kind: str) -> int:
+    """Pure kind -> default-MB mapping behind _raised_vmem_default_mb."""
+    kind = kind.lower()
+    if "tpu" not in kind:
+        return 64
+    m = re.search(r"v(\d+)", kind)
+    return 64 if (m is None or int(m.group(1)) >= 5) else 0
+
+
 def _scoped_vmem_cap() -> int:
     """Raised Mosaic scoped-VMEM limit (bytes) for the big-H adjoint kernels.
 
     Mosaic's DEFAULT scoped budget is ~16 MB — a compiler check, not the
     chip: v5e physically carries far more VMEM, and
     ``pltpu.CompilerParams(vmem_limit_bytes=...)`` raises the check.
-    ``TPU_LAS_SCOPED_VMEM_MB`` overrides (0 disables the raised paths and
-    restores the round-3 batch-chunk + outside-einsum routing)."""
-    mb = int(os.environ.get("TPU_LAS_SCOPED_VMEM_MB", "64"))
+    ``TPU_LAS_SCOPED_VMEM_MB`` overrides in either direction (0 disables the
+    raised paths and restores the round-3 batch-chunk + outside-einsum
+    routing); unset, the default depends on the device generation
+    (:func:`_raised_vmem_default_mb`)."""
+    env = os.environ.get("TPU_LAS_SCOPED_VMEM_MB")
+    mb = int(env) if env is not None else _raised_vmem_default_mb()
     return mb * 1024 * 1024
 
 

@@ -518,3 +518,34 @@ def test_span_rewrite_never_worse_with_auto_margin():
     preds = [c if m > 1e9 else i
              for c, i, m in zip(corrected, inputs, margins)]
     assert preds == inputs
+
+
+def test_conf_anchor_window_clamps_to_row_length():
+    """The 'conf' policy's forward smoothing window must stop at each row's
+    real char count: positions past EOS score p(EOS | EOS...) continuations
+    the training loss never saw, and letting that garbage into the tail
+    windows cut confident endings short (review finding, round 4)."""
+    from attention_based_e2e_asr_dnn_tpu.decoding.rescore import (
+        span_anchor_lengths,
+    )
+
+    width = 41
+    good, bad = np.log(0.9), -10.0
+    tok = np.full((2, width), good)
+    # row 0: 20 confident chars (tok positions 1..20); everything past the
+    # last real char is untrained-pad garbage
+    tok[0, 21:] = bad
+    # row 1: 30 chars with a genuinely low region (chars 10..17)
+    tok[1, 11:19] = -5.0
+    lx = np.array([22, 32], np.int32)  # chars + SOS + EOS
+    x = np.zeros((2, width), np.int32)
+
+    pol = dict(span_anchor_lengths(lambda p, xx, ll, c: tok, None, x, lx,
+                                   conf_tau=0.5, fracs=()))
+    conf = pol["conf"]
+    # row 0: every within-length window averages log(0.9) > log(0.5) -> the
+    # anchor keeps the full confident input (pre-fix, pad garbage leaked
+    # into windows starting at char 13+ and cut the anchor to 11)
+    assert conf[0] == 20
+    # row 1: the real low region is still detected (anchor before char 10)
+    assert 0 <= conf[1] <= 10

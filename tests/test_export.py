@@ -597,3 +597,46 @@ def test_export_from_experiment_and_cli(tmp_path):
     assert cli.main([str(exp), "-o", out3, "--batch", "2", "--t-pad", "16",
                      "--platforms", "cpu", "--quantize", "int8",
                      "--check"]) == 0
+
+
+def _import_tool(name):
+    import sys
+    sys.path.insert(0, "tools")
+    try:
+        return __import__(name)
+    finally:
+        sys.path.pop(0)
+
+
+def test_export_cli_forwards_span_knobs(monkeypatch, tmp_path):
+    """--span-conf-tau/--span-fracs reach the artifact: the fitted policy's
+    family names (fNN) and the 'conf' split are DEFINED by these knobs, so
+    exporting with other values would deploy a different policy than the
+    one lminfer calibrated (review finding, round 4)."""
+    import attention_based_e2e_asr_dnn_tpu.export as export_mod
+
+    cli = _import_tool("export_serving")
+    seen = {}
+
+    def fake_export(exp, out, **kw):
+        seen.update(kw)
+        p = tmp_path / "fake.tlas"
+        p.write_bytes(b"x")
+        return str(p)
+
+    monkeypatch.setattr(export_mod, "export_corrector_from_experiment",
+                        fake_export)
+    rc = cli.main(["lm_exp", "-o", str(tmp_path / "c.tlas"),
+                   "--model", "rewriter", "--span-rewrite",
+                   "--span-conf-tau", "0.3", "--span-fracs", "0.33", "0.66"])
+    assert rc == 0
+    assert seen["span_conf_tau"] == 0.3
+    assert seen["span_fracs"] == (0.33, 0.66)
+    assert seen["span_rewrite"] is True
+
+
+def test_export_cli_rejects_span_knobs_without_span_rewrite(tmp_path):
+    cli = _import_tool("export_serving")
+    with pytest.raises(SystemExit):
+        cli.main(["lm_exp", "-o", str(tmp_path / "c.tlas"),
+                  "--model", "rewriter", "--span-conf-tau", "0.3"])

@@ -251,3 +251,28 @@ def test_pallas_gradients_match_scan_chunked_adjoint():
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pal)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-3, rtol=1e-4)
+
+
+def test_scoped_vmem_default_is_generation_aware(monkeypatch):
+    """Unset, the raised scoped-VMEM budget defaults per device generation:
+    v5e+ (where 96 MB scratch is MEASURED to compile/run) and interpret-mode
+    backends raise to 64 MB; older real chips (v2/v3/v4) keep the round-3
+    conservative routing that is known to compile — a 64 MB Mosaic request
+    there could fail where batch-chunking worked. Env always wins."""
+    from attention_based_e2e_asr_dnn_tpu.ops import lstm_pallas as lp
+
+    assert lp._raised_mb_for_kind("TPU v5 lite") == 64   # this box, measured
+    assert lp._raised_mb_for_kind("TPU v5p") == 64
+    assert lp._raised_mb_for_kind("TPU v6e") == 64
+    assert lp._raised_mb_for_kind("cpu") == 64           # interpret routing
+    assert lp._raised_mb_for_kind("TPU v4") == 0
+    assert lp._raised_mb_for_kind("TPU v3") == 0
+    assert lp._raised_mb_for_kind("TPU v2") == 0
+
+    monkeypatch.setenv("TPU_LAS_SCOPED_VMEM_MB", "32")
+    assert lp._scoped_vmem_cap() == 32 * 1024 * 1024
+    monkeypatch.setenv("TPU_LAS_SCOPED_VMEM_MB", "0")
+    assert lp._scoped_vmem_cap() == 0
+    monkeypatch.delenv("TPU_LAS_SCOPED_VMEM_MB")
+    # unset on the CPU test backend -> the raised (v5e-mirroring) default
+    assert lp._scoped_vmem_cap() == 64 * 1024 * 1024

@@ -301,3 +301,20 @@ def test_readyz_surfaces_warmup_failure(http_server):
         assert body["ready"] is False and "auto-warmup" in body["error"]
     finally:
         t.wait_ready = orig
+
+
+def test_serve_http_rejects_corrector_flags_without_corrector(tmp_path):
+    """Experiment mode must error on --corrector-span-family /
+    --corrector-margin without --corrector — silently serving with no
+    correction at all is the exact hole artifact mode already rejects."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    try:
+        import serve_http as cli
+    finally:
+        sys.path.pop(0)
+    with pytest.raises(SystemExit):
+        cli.main([str(tmp_path), "--corrector-span-family", "f90"])
+    with pytest.raises(SystemExit):
+        cli.main([str(tmp_path), "--corrector-margin", "0.2"])

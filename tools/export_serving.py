@@ -39,6 +39,15 @@ def main(argv=None) -> int:
                          "decode + per-token confidence scorer so the "
                          "fitted span policy runs model-code-free "
                          "(correct(span_family=...))")
+    ap.add_argument("--span-conf-tau", type=float, default=0.5,
+                    help="with --span-rewrite: the 'conf' family's "
+                         "per-token confidence threshold — MUST match the "
+                         "lminfer span_conf_tau the policy was fitted with")
+    ap.add_argument("--span-fracs", type=float, nargs="+",
+                    default=[0.25, 0.5, 0.75, 0.9],
+                    help="with --span-rewrite: fixed-fraction anchor "
+                         "families (fNN names) — MUST match the lminfer "
+                         "span_fracs the policy was fitted with")
     ap.add_argument("--data-parallel", type=int, default=1,
                     help="las only (greedy or beam): export sharded over an "
                          "N-device dp mesh (requires N devices wherever it "
@@ -54,6 +63,12 @@ def main(argv=None) -> int:
         ap.error("--span-rewrite applies to --model rewriter")
     if args.span_rewrite and args.no_gate:
         ap.error("--span-rewrite requires the gate scorer (drop --no-gate)")
+    if not args.span_rewrite and (args.span_conf_tau != 0.5
+                                  or args.span_fracs != [0.25, 0.5, 0.75,
+                                                         0.9]):
+        ap.error("--span-conf-tau/--span-fracs only apply with "
+                 "--span-rewrite (they name the candidate families the "
+                 "fitted policy points into)")
 
     # tracing/lowering touches the pinned device backend — fail fast with
     # a diagnostic when it is down instead of hanging in backend init
@@ -79,6 +94,8 @@ def main(argv=None) -> int:
             length_alpha=args.length_alpha,
             max_len_factor=args.max_len_factor, gate=not args.no_gate,
             span_rewrite=args.span_rewrite,
+            span_conf_tau=args.span_conf_tau,
+            span_fracs=tuple(args.span_fracs),
             quantize=args.quantize, platforms=tuple(args.platforms),
         )
         print(f"exported -> {path} ({os.path.getsize(path) / 1e6:.1f} MB)")

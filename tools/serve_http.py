@@ -82,6 +82,9 @@ def main(argv=None) -> int:
             ("--corrector-span-family",
              args.corrector_span_family
              if not args.corrector_artifact else None),
+            ("--corrector-margin",
+             args.corrector_margin
+             if not args.corrector_artifact else None),
             ("--checkpoint", args.checkpoint),
             ("--average", args.average or None),
             ("--beam-size", args.beam_size or None),
@@ -119,6 +122,12 @@ def main(argv=None) -> int:
         if args.corrector_artifact:
             ap.error("--corrector-artifact applies to --artifact mode; "
                      "use --corrector <lm_experiment> here")
+        if args.corrector is None and (args.corrector_span_family is not None
+                                       or args.corrector_margin):
+            # mirror the artifact-mode strictness: these flags without a
+            # corrector would silently serve with NO correction at all
+            ap.error("--corrector-span-family/--corrector-margin need "
+                     "--corrector <lm_experiment> in experiment mode")
         from attention_based_e2e_asr_dnn_tpu.serving import (
             Corrector,
             Transcriber,
