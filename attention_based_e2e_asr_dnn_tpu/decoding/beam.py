@@ -254,7 +254,7 @@ def make_las_beam_step(las_cfg, beam_size: int, length_alpha: float = 0.0,
 
 def make_las_eval_beam_step(las_cfg, beam_size: int, length_alpha: float = 0.0,
                             compute_dtype=jnp.float32, max_steps: int = 0,
-                            max_len_factor: float = 3.0):
+                            max_len_factor: float = 3.0, mesh=None):
     """Single-encoder-pass dev eval for beam runs: ``step(params, x, lx, y,
     ly, want_ids) -> (metrics, beam_ids | None)``.
 
@@ -266,8 +266,17 @@ def make_las_eval_beam_step(las_cfg, beam_size: int, length_alpha: float = 0.0,
     ``y.shape[1]`` steps — the only ones the masked CE reads — are identical
     to the full CHR_MAX_STEPS free-run's (reference loss semantics preserved,
     src/train.py:199-258).
+
+    ``mesh``: optional 1-D 'data' mesh — under shard_map data parallelism
+    (parallel/dp.py) the listener and the free-running loss decode may route
+    to Pallas kernels, which GSPMD cannot partition over batch-sharded
+    operands; with a mesh given, both run per B/n shard under
+    ``jax.shard_map`` (the beam scan itself is plain XLA — GSPMD handles
+    its batch sharding).
     """
     import dataclasses
+
+    from jax.sharding import PartitionSpec as P
 
     from attention_based_e2e_asr_dnn_tpu.models.las import (
         listener_apply,
@@ -277,20 +286,57 @@ def make_las_eval_beam_step(las_cfg, beam_size: int, length_alpha: float = 0.0,
 
     steps = max_steps or las_cfg.speller.CHR_MAX_STEPS
 
-    @jax.jit
-    def encode(params, x, lx):
+    def encode_fn(params, x, lx):
         return listener_apply(params["listener"], las_cfg.listener, None,
                               x.astype(compute_dtype), lx, train=False)
 
-    @functools.partial(jax.jit, static_argnames=("n_steps",))
-    def loss_decode(params, enc_h, enc_l, y, ly, n_steps):
+    def loss_decode_fn(params, enc_h, enc_l, y, ly, n_steps):
         sp_cfg = dataclasses.replace(las_cfg.speller, CHR_MAX_STEPS=n_steps)
         out = speller_apply(params["speller"], sp_cfg, None, enc_h, enc_l,
                             dec_y=None, tf_rate=0.0, train=False)
         n = min(n_steps, y.shape[1])
         loss, n_tokens = masked_ce_loss(
             out.logits[:, :n, :], y[:, :n], jnp.minimum(ly, n))
-        return {"loss": loss, "ppl": jnp.exp(loss), "n_tokens": n_tokens}
+        return loss, n_tokens
+
+    if mesh is None:
+        encode = jax.jit(encode_fn)
+
+        @functools.partial(jax.jit, static_argnames=("n_steps",))
+        def loss_decode(params, enc_h, enc_l, y, ly, n_steps):
+            loss, n_tokens = loss_decode_fn(params, enc_h, enc_l, y, ly,
+                                            n_steps)
+            return {"loss": loss, "ppl": jnp.exp(loss), "n_tokens": n_tokens}
+    else:
+        rep, bat = P(), P("data")
+        encode = jax.jit(jax.shard_map(
+            encode_fn, mesh=mesh, in_specs=(rep, bat, bat),
+            out_specs=(bat, bat), check_vma=False))
+
+        def shard_loss_body(params, enc_h, enc_l, y, ly, *, n_steps):
+            from attention_based_e2e_asr_dnn_tpu.ops.masking import (
+                length_mask,
+            )
+
+            shard_mean, shard_n = loss_decode_fn(params, enc_h, enc_l, y, ly,
+                                                 n_steps)
+            # RAW token count (an all-padded shard's max(sum,1)=1 clamp must
+            # not inflate the global denominator)
+            n = min(n_steps, y.shape[1])
+            n_raw = length_mask(jnp.minimum(ly, n), n,
+                                dtype=jnp.float32).sum()
+            n_tokens = jnp.maximum(jax.lax.psum(n_raw, "data"), 1.0)
+            loss = jax.lax.psum(shard_mean * shard_n * (n_raw > 0), "data"
+                                ) / n_tokens
+            return {"loss": loss, "ppl": jnp.exp(loss), "n_tokens": n_tokens}
+
+        @functools.partial(jax.jit, static_argnames=("n_steps",))
+        def loss_decode(params, enc_h, enc_l, y, ly, n_steps):
+            return jax.shard_map(
+                functools.partial(shard_loss_body, n_steps=n_steps),
+                mesh=mesh, in_specs=(rep, bat, bat, bat, bat),
+                out_specs=rep, check_vma=False,
+            )(params, enc_h, enc_l, y, ly)
 
     def step(params, x, lx, y, ly, want_ids: bool = True):
         enc_h, enc_l = encode(params, x, lx)

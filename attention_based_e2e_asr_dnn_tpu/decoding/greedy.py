@@ -164,8 +164,13 @@ def greedy_decode_anchored(
         out = jax.lax.dynamic_update_slice(out, nxt[:, None], (0, t))
         done = done | (nxt == cfg.CHR_PAD_IDX)
         if max_len_factor > 0:
-            done = done | (jnp.float32(t + 1)
-                           >= max_len_factor * enc_l.astype(jnp.float32))
+            # the length cap is suppressed while the decode is still FORCED
+            # along the anchor: truncating mid-anchor would silently break
+            # the "forced along the confident prefix" contract for rows
+            # whose encoder length is pathologically short (ADVICE r4)
+            done = done | ((jnp.float32(t + 1)
+                            >= max_len_factor * enc_l.astype(jnp.float32))
+                           & (t >= anchor_len))
         return (t + 1, nxt, h1n, c1n, h2n, c2n, ctx, done, out)
 
     state = (jnp.int32(0), char0, h1, c1, h2, c2, context0, done0, out0)
@@ -191,6 +196,7 @@ def make_rewriter_anchored_step(lm_cfg, compute_dtype=jnp.float32,
         enc_h, enc_l = locked_lstm_stack_apply(
             params["encoder"], None, emb[x], lx,
             init_dropout=0.0, mid_dropout=0.0, bidirectional=True, train=False,
+            impl=lm_cfg.lstm_impl,
         )
         return greedy_decode_anchored(params["decoder"], sp_cfg, enc_h, enc_l,
                                       anchor_ids, anchor_len, max_steps,
@@ -217,6 +223,7 @@ def make_rewriter_greedy_step(lm_cfg, compute_dtype=jnp.float32,
         enc_h, enc_l = locked_lstm_stack_apply(
             params["encoder"], None, emb[x], lx,
             init_dropout=0.0, mid_dropout=0.0, bidirectional=True, train=False,
+            impl=lm_cfg.lstm_impl,
         )
         return greedy_decode_early_stop(params["decoder"], sp_cfg,
                                         enc_h, enc_l, max_steps,

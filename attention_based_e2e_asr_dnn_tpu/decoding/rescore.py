@@ -205,7 +205,8 @@ def span_anchor_lengths(token_scorer, params, x, lx, conf_tau, fracs):
 
 def span_candidate_families(step_ids, scorer, token_scorer, anchored_step,
                             params, x, lx, conf_tau, fracs, eos_idx: int,
-                            sos_idx: int, pad_multiple: int = 32):
+                            sos_idx: int, pad_multiple: int = 32,
+                            score_width: int = 0):
     """Every rewrite-candidate family for one batch, scored in ONE stacked
     dispatch: ``"free"`` (the full rewrite passed in as ``step_ids``), the
     prefix-anchored families from :func:`span_anchor_lengths` (``"conf"``,
@@ -216,7 +217,14 @@ def span_candidate_families(step_ids, scorer, token_scorer, anchored_step,
     where ``margins = score(candidate) - score(input)`` under the forced
     scorer — the same quantity the never-worse gate thresholds. Shared by
     lminfer (which FITS the deployed (family, margin) on labeled pairs) and
-    serving.Corrector (which applies the fitted policy online)."""
+    serving.Corrector (which applies the fitted policy online).
+
+    ``score_width`` (optional): pad every candidate layout to at least this
+    many columns. The stacked scorer's candidate operand otherwise takes its
+    width from the longest rewrite in the batch — a data-dependent shape
+    that retraces/recompiles the jitted scorer across request batches; a
+    fixed width (e.g. round-to-32 of CHR_MAX_STEPS+2, matching the exported
+    artifact's score_width) compiles it once (ADVICE r4)."""
     import numpy as np
 
     x = np.asarray(x)
@@ -229,7 +237,8 @@ def span_candidate_families(step_ids, scorer, token_scorer, anchored_step,
         cand.append((name, np.asarray(
             anchored_step(params, x, lx, anchor_ids, alen))))
 
-    layouts = [candidates_to_layout(c, eos_idx, sos_idx, x.shape[1],
+    min_width = max(x.shape[1], int(score_width))
+    layouts = [candidates_to_layout(c, eos_idx, sos_idx, min_width,
                                     pad_multiple) for _, c in cand]
     layouts, c_scores, in_scores = _score_stacked(scorer, params, x, lx,
                                                   layouts, eos_idx)

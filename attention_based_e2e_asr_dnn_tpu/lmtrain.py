@@ -122,6 +122,7 @@ def main(args):
     # time-shardable through a config hook); rejected with clear errors.
     shard_batch = None
     shard_state = None
+    dp_mesh = None
     par = getattr(trncfgs, "parallel", None)
     if par is not None and par.use:
         from attention_based_e2e_asr_dnn_tpu.parallel.mesh import (
@@ -163,7 +164,11 @@ def main(args):
         else:
             mesh = make_mesh(getattr(par, "data", None)
                              or getattr(par, "n_devices", None))
-            print(f"[parallel] data-parallel mesh over {mesh.size} devices")
+            print(f"[parallel] data-parallel mesh over {mesh.size} devices "
+                  "(shard_map: per-device batch shards, explicit psum)")
+            # pure DP rides shard_map (parallel/dp.py) like the LAS entry —
+            # the Rewriter's Pallas tiers run per shard by construction
+            dp_mesh = mesh
         shard_batch = shard_batch_fn(mesh)
 
     trainer = Trainer(
@@ -180,6 +185,7 @@ def main(args):
         logger=logger,
         shard_batch=shard_batch,
         shard_state=shard_state,
+        dp_mesh=dp_mesh,
     )
     trainer.train_eval(int(trncfgs.epochs))
     dump_log_json(os.path.join(tgt_folder, "log.json"),

@@ -518,12 +518,18 @@ def _raised_vmem_default_mb() -> int:
 
 
 def _raised_mb_for_kind(kind: str) -> int:
-    """Pure kind -> default-MB mapping behind _raised_vmem_default_mb."""
+    """Pure kind -> default-MB mapping behind _raised_vmem_default_mb.
+
+    Only EXPLICITLY-KNOWN v5+ generations get the raised 64 MB default; a
+    TPU kind whose generation cannot be parsed (unknown/future naming
+    scheme) falls back to 0 — the conservative round-3 chunked routing that
+    compiles everywhere — rather than risking a Mosaic compile failure on
+    an unrecognized chip. Non-TPU backends (interpret tests) mirror v5e."""
     kind = kind.lower()
     if "tpu" not in kind:
         return 64
     m = re.search(r"v(\d+)", kind)
-    return 64 if (m is None or int(m.group(1)) >= 5) else 0
+    return 64 if (m is not None and int(m.group(1)) >= 5) else 0
 
 
 def _scoped_vmem_cap() -> int:

@@ -211,6 +211,12 @@ class Corrector:
                 "family": span_family,
                 "conf_tau": float(span_conf_tau),
                 "fracs": [float(f) for f in span_fracs],
+                # fixed candidate width for the stacked scorer: the widest
+                # layout any rewrite can need ([SOS]+CHR_MAX_STEPS+[EOS],
+                # round-32, the exported artifact's score_width) — otherwise
+                # the scorer retraces on the longest rewrite per batch
+                "score_width": -(-(int(self.lm_cfg.CHR_MAX_STEPS) + 2)
+                                 // 32) * 32,
             }
 
     def correct(self, texts: Sequence[str]) -> List[str]:
@@ -252,7 +258,8 @@ class Corrector:
                 fams = span_candidate_families(
                     dec, self._scorer, self._span["token_scorer"],
                     self._span["anchored_step"], self.params, bt.x, lx,
-                    self._span["conf_tau"], self._span["fracs"], eos, sos)
+                    self._span["conf_tau"], self._span["fracs"], eos, sos,
+                    score_width=self._span["score_width"])
                 dec, margins = fams[self._span["family"]]
             elif self._scorer is not None:
                 _, s_corr, s_in = gate_corrections(

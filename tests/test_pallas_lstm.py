@@ -268,6 +268,10 @@ def test_scoped_vmem_default_is_generation_aware(monkeypatch):
     assert lp._raised_mb_for_kind("TPU v4") == 0
     assert lp._raised_mb_for_kind("TPU v3") == 0
     assert lp._raised_mb_for_kind("TPU v2") == 0
+    # unparseable generation (unknown/future naming): conservative routing,
+    # not a 64 MB Mosaic request that might not compile there (ADVICE r4)
+    assert lp._raised_mb_for_kind("TPU weirdname") == 0
+    assert lp._raised_mb_for_kind("TPU ultra") == 0
 
     monkeypatch.setenv("TPU_LAS_SCOPED_VMEM_MB", "32")
     assert lp._scoped_vmem_cap() == 32 * 1024 * 1024

@@ -311,3 +311,45 @@ def test_eval_beam_step_single_pass(tmp_path):
     tr.eval_beam_step = counting_step
     loss2, _, ld2 = tr.evaluate_epoch(compute_ld=False)
     assert loss2 == pytest.approx(loss_b, rel=1e-5)
+
+
+def test_prefetch_pipeline_stream_identical(tmp_path):
+    """The two-stage prefetch pipeline (host assembly thread + device
+    transfer thread, VERDICT r4 #3) must yield EXACTLY the stream the
+    inline conversion yields: same batches, same order, same values."""
+    tr_inline = _trainer(tmp_path / "a", extra={"prefetch_depth": 0})
+    tr_piped = _trainer(tmp_path / "b", extra={"prefetch_depth": 2})
+
+    inline = list(tr_inline._prepared_batches(
+        tr_inline.trn_batcher.epoch(0)))
+    piped = list(tr_piped._prepared_batches(tr_piped.trn_batcher.epoch(0)))
+    assert len(inline) == len(piped) > 0
+    for (db_a, y_a, ly_a, idx_a), (db_b, y_b, ly_b, idx_b) in zip(inline,
+                                                                  piped):
+        for a, b in zip(db_a, db_b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(y_a, y_b)
+        np.testing.assert_array_equal(ly_a, ly_b)
+        np.testing.assert_array_equal(idx_a, idx_b)
+    # the transfer stage really completed the copies ahead of consumption
+    for db, *_ in piped:
+        for a in db:
+            assert a.is_ready()
+
+
+def test_prefetch_pipeline_early_exit_clean(tmp_path):
+    """Breaking out of the epoch mid-stream (crash save / interrupt) must
+    not deadlock or leak the two worker threads."""
+    import threading
+
+    before = threading.active_count()
+    tr = _trainer(tmp_path, extra={"prefetch_depth": 2})
+    gen = tr._prepared_batches(tr.trn_batcher.epoch(0))
+    next(gen)
+    gen.close()  # triggers the finally: close() path
+    import time
+
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before + 1

@@ -51,6 +51,16 @@ def main(argv=None) -> int:
                          "calibration (e.g. f90, conf, best, free). Works "
                          "with --corrector (experiment mode) and with "
                          "--corrector-artifact exported --span-rewrite")
+    ap.add_argument("--corrector-span-conf-tau", type=float, default=0.5,
+                    help="confidence threshold for the 'conf' anchor family "
+                         "— must match the value lminfer calibrated with "
+                         "(span_conf_tau); experiment mode only (artifacts "
+                         "bake it into meta at export time)")
+    ap.add_argument("--corrector-span-fracs", type=float, nargs="+",
+                    default=[0.25, 0.5, 0.75, 0.9],
+                    help="fraction-anchor candidate set (fNN families) — "
+                         "must match lminfer's span_fracs calibration knob; "
+                         "experiment mode only")
     ap.add_argument("--data-parallel", type=int, default=1)
     args = ap.parse_args(argv)
 
@@ -85,6 +95,13 @@ def main(argv=None) -> int:
             ("--corrector-margin",
              args.corrector_margin
              if not args.corrector_artifact else None),
+            ("--corrector-span-conf-tau",
+             args.corrector_span_conf_tau
+             if args.corrector_span_conf_tau != 0.5 else None),
+            ("--corrector-span-fracs",
+             args.corrector_span_fracs
+             if args.corrector_span_fracs != [0.25, 0.5, 0.75, 0.9]
+             else None),
             ("--checkpoint", args.checkpoint),
             ("--average", args.average or None),
             ("--beam-size", args.beam_size or None),
@@ -136,10 +153,15 @@ def main(argv=None) -> int:
         corrector = None
         if args.corrector:
             span = args.corrector_span_family
+            # tau/fracs must match what lminfer calibrated with — defaults
+            # here would otherwise silently serve a DIFFERENT candidate set
+            # than the fitted policy was chosen over (ADVICE r4)
             corrector = Corrector(args.corrector,
                                   confidence_margin=args.corrector_margin,
                                   span_rewrite=span is not None,
-                                  span_family=span or "best")
+                                  span_family=span or "best",
+                                  span_conf_tau=args.corrector_span_conf_tau,
+                                  span_fracs=tuple(args.corrector_span_fracs))
         transcriber = Transcriber(
             args.exp_folder,
             checkpoint=args.checkpoint,
