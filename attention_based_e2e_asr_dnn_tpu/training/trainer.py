@@ -324,7 +324,11 @@ class Trainer:
         authority for both the streamed and device-resident feeds."""
         y, ly = self._strip_sos(bt.y, bt.ly)
         ly = np.where(bt.indices >= 0, ly, 0)  # repeat-padded: no loss
+        # Only float features ride the compact wire format: the Rewriter's
+        # inputs are integer token ids that must stay integral (they index
+        # the embedding table on device).
         x = (bt.x if self.feed_dtype is None
+             or not np.issubdtype(np.asarray(bt.x).dtype, np.floating)
              else bt.x.astype(self.feed_dtype))
         device_batch = self.shard_batch(
             (jnp.asarray(x), jnp.asarray(bt.lx.astype(np.int32)),

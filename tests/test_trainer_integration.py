@@ -103,6 +103,30 @@ def test_feed_dtype_auto_matches_float32_wire(tmp_path):
     assert tr32.dev_history["loss"] == trbf.dev_history["loss"]
 
 
+def test_feed_dtype_keeps_integer_inputs_integral(tmp_path):
+    """The Rewriter's ``x`` is integer token ids (Batch docstring: `(B, T)
+    int32 for LM`); the compact bf16 wire format must apply only to float
+    features. Regression: the round-5 unified `_convert_batch` cast ids to
+    bfloat16, which crashes the embedding lookup (`emb[x]`,
+    models/rewriter.py) with a bf16-indexer TypeError."""
+    from attention_based_e2e_asr_dnn_tpu.data.batching import Batch
+
+    tr = _trainer(tmp_path, extra={"feed_dtype": "auto"},
+                  compute_dtype=jnp.bfloat16)
+    assert tr.feed_dtype == jnp.bfloat16
+    ids = np.zeros((4, 8), dtype=np.int32)
+    labels = np.zeros((4, 8), dtype=np.int32)
+    bt = Batch(x=ids, lx=np.full((4,), 8, np.int32), y=labels,
+               ly=np.full((4,), 8, np.int32), indices=np.arange(4))
+    (dx, _, _, _), _, _, _ = tr._convert_batch(bt)
+    assert dx.dtype == jnp.int32
+    # float features still take the compact wire format
+    fbt = Batch(x=np.zeros((4, 8, 15), np.float32), lx=bt.lx, y=labels,
+                ly=bt.ly, indices=bt.indices)
+    (fx, _, _, _), _, _, _ = tr._convert_batch(fbt)
+    assert fx.dtype == jnp.bfloat16
+
+
 def test_device_resident_data_matches_streamed(tmp_path):
     """device_resident_data (assemble + upload every batch once, train off
     HBM) must train identically to the streamed feed when the batch plan is
