@@ -84,32 +84,52 @@ def main():
         shutil.copyfile(mst, mst_local)
 
         # 1. decode prediction CSVs (train feeds lmtrain; dev = calibration
-        # pairs; test = the held-out set every number reports on)
-        trn_pred = run_infer(None, args.run_dir,
-                             os.path.join(args.data_dir, "train-clean-100"),
+        # pairs; test = the held-out set every number reports on).
+        # Idempotent: an existing CSV (from an interrupted attempt) is reused.
+        def decode(split, tag):
+            csv = os.path.join(args.run_dir, "preds",
+                               f"milestone-epoch[{m_epoch}]-{tag}.csv")
+            if os.path.exists(csv):
+                print(f"[chain_refit] reuse {csv}")
+                return csv
+            return run_infer(None, args.run_dir,
+                             os.path.join(args.data_dir, split),
                              mst_local, args.batch_size)
-        dev_pred = run_infer(None, args.run_dir,
-                             os.path.join(args.data_dir, "dev-clean"),
-                             mst_local, args.batch_size)
-        tst_pred = run_infer(None, args.run_dir,
-                             os.path.join(args.data_dir, "test-clean"),
-                             mst_local, args.batch_size)
+
+        trn_pred = decode("train-clean-100", "trn")
+        dev_pred = decode("dev-clean", "dev")
+        tst_pred = decode("test-clean", "tst")
         ld_dev_in = dev_ld_of_csv(dev_pred, dev_trans)
         ld_tst_in = dev_ld_of_csv(tst_pred, tst_trans)
         print(f"[chain_refit] milestone {m_epoch}: input dev LD "
               f"{ld_dev_in:.2f}, held-out test LD {ld_tst_in:.2f}")
 
-        # 2. train the corrector on the milestone's train predictions
+        # 2. train the corrector on the milestone's train predictions.
+        # Idempotent: a finished run (one with a non-emergency checkpoint)
+        # from an interrupted attempt is reused.
         lm_exp = os.path.join(work, f"lm-m{m_epoch}")
-        lm_cfg = rewriter_config(args.data_dir, lm_exp, trn_pred, dev_pred,
-                                 args.lm_epochs)
-        lm_cfg["model"]["configs"]["CHR_MAX_STEPS"] = args.lm_max_steps
-        lm_cfg_path = os.path.join(work, f"rewriter-m{m_epoch}.yml")
-        with open(lm_cfg_path, "w") as fh:
-            yaml.safe_dump(lm_cfg, fh)
-        lmtrain_mod.main(
-            lmtrain_mod.build_argparser().parse_args(["-c", lm_cfg_path]))
-        lm_run = [os.path.join(lm_exp, d) for d in sorted(os.listdir(lm_exp))][0]
+
+        def finished_runs():
+            if not os.path.isdir(lm_exp):
+                return []
+            return [os.path.join(lm_exp, d) for d in sorted(os.listdir(lm_exp))
+                    if any(not f.startswith("emergency")
+                           for f in os.listdir(os.path.join(lm_exp, d, "ckpts")))]
+
+        done = finished_runs()
+        if done:
+            lm_run = done[-1]
+            print(f"[chain_refit] reuse trained corrector {lm_run}")
+        else:
+            lm_cfg = rewriter_config(args.data_dir, lm_exp, trn_pred, dev_pred,
+                                     args.lm_epochs)
+            lm_cfg["model"]["configs"]["CHR_MAX_STEPS"] = args.lm_max_steps
+            lm_cfg_path = os.path.join(work, f"rewriter-m{m_epoch}.yml")
+            with open(lm_cfg_path, "w") as fh:
+                yaml.safe_dump(lm_cfg, fh)
+            lmtrain_mod.main(
+                lmtrain_mod.build_argparser().parse_args(["-c", lm_cfg_path]))
+            lm_run = finished_runs()[-1]
 
         # 3. correct the held-out TEST csv under each chain mode
         modes = {
