@@ -421,14 +421,17 @@ def pick_chunk(batch: int, te: int, proj: int, interpret: bool, *,
         # raised Mosaic scoped-VMEM limit (the kernels carry
         # vmem_limit_bytes, see _raised_params): the measured bb=16 backward
         # footprint (16.70 MB @ Te=192/L=224) fits the raised cap with >2x
-        # margin, so the big-h1 chunk cap lifts 8 -> 16. bb=32 additionally
-        # fits the row model under the raised budget (modeled ~21 MB vs a
-        # 23 MB budget at the scaled flagship shape) — TPU_LAS_BIGH_BB
-        # selects it; the default stays at the on-chip-validated value
-        # (see docs/kernels.md round-5 A/B). The base-arch (h1<=512) rule
-        # is untouched — its kernels run under the DEFAULT limit and the
-        # 32/15.5MB/7MB calibration stands.
-        cap = int(os.environ.get("TPU_LAS_BIGH_BB", "16"))
+        # margin, and the round-5 on-chip A/B (tools/speller_control.py,
+        # results/speller_control_scaled.json: scaled flagship shape
+        # B=128/Te=192/L=192) measured bb=32 FASTER than bb=16 — fwd
+        # 19.8 vs 23.2 ms, fwd+bwd 38.4 vs 44.9 ms (−14%): fewer serial
+        # batch-chunk launches amortize the per-step weight-block residency
+        # over more rows, the same mechanism that made the H=1024 adjoint
+        # unchunking a −21% win. Default is therefore 32 under the raised
+        # cap; TPU_LAS_BIGH_BB restores 16 (or 8) for A/Bs. The base-arch
+        # (h1<=512) rule is untouched — its kernels run under the DEFAULT
+        # limit and the 32/15.5MB/7MB calibration stands.
+        cap = int(os.environ.get("TPU_LAS_BIGH_BB", "32"))
         budget = min(int(1.5 * budget),
                      _scoped_vmem_cap() - 8 * 1024 * 1024)
         kv_cap = 14 * 1024 * 1024
