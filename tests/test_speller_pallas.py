@@ -228,20 +228,29 @@ def test_fused_available_gate():
 
 
 def test_pick_chunk_scoped_vmem_calibration(monkeypatch):
-    """pick_chunk's decision is calibrated against on-chip measurements
-    (2026-08-18): the scaled arch (h1=1024, heads=4) overflowed the 16 MB
-    DEFAULT scoped-VMEM stack at bb=32 (fwd) AND bb=16 (bwd, Te=192/L=224),
-    while the base arch compiles and runs at bb=32. With the RAISED Mosaic
-    limit (the big-h1 kernels carry vmem_limit_bytes) the measured bb=16
-    footprint fits with >2x margin, lifting the big-h1 cap 8 -> 16. Pin all
-    three decisions so a budget tweak can't silently regress the flagship
-    chunk or re-introduce the scaled-arch compile OOM."""
+    """pick_chunk's decision is calibrated against on-chip measurements:
+    the scaled arch (h1=1024, heads=4) overflowed the 16 MB DEFAULT
+    scoped-VMEM stack at bb=32 (fwd) AND bb=16 (bwd, Te=192/L=224), while
+    the base arch compiles and runs at bb=32. With the RAISED Mosaic limit
+    (the big-h1 kernels carry vmem_limit_bytes) the round-5 on-chip A/B
+    (results/speller_control_scaled.json) measured bb=32 both FITTING and
+    FASTER than bb=16 (fwd+bwd 38.4 vs 44.9 ms at the scaled flagship
+    shape), so the big-h1 cap under the raise is 32; TPU_LAS_BIGH_BB
+    still overrides for A/Bs. Pin all decisions so a budget tweak can't
+    silently regress the flagship chunk or re-introduce the scaled-arch
+    compile OOM."""
     from attention_based_e2e_asr_dnn_tpu.ops.speller_pallas import pick_chunk
 
-    # scaled LAS (configs/scaled-las.yml) under the raised limit (default)
+    # scaled LAS (configs/scaled-las.yml) under the raised limit (default):
+    # the round-5 measured winner bb=32
     for te in (64, 128, 192):
         assert pick_chunk(128, te, 256, False,
-                          h1dim=1024, h2dim=256, vp=32, heads=4) == 16
+                          h1dim=1024, h2dim=256, vp=32, heads=4) == 32
+    # TPU_LAS_BIGH_BB restores the round-4 cap for A/Bs
+    monkeypatch.setenv("TPU_LAS_BIGH_BB", "16")
+    assert pick_chunk(128, 192, 256, False,
+                      h1dim=1024, h2dim=256, vp=32, heads=4) == 16
+    monkeypatch.delenv("TPU_LAS_BIGH_BB")
     # with the raise disabled: the measured default-limit cap of 8
     monkeypatch.setenv("TPU_LAS_SCOPED_VMEM_MB", "0")
     for te in (64, 128, 192):
